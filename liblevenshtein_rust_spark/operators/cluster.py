@@ -1,0 +1,115 @@
+"""Transitive closure of matched pairs -> entity clusters.
+
+The reference has no clustering (it stops at query results); matched pairs
+-> entities is the record-linkage step our pipeline adds. Algorithm:
+alternating large-star / small-star connected components (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+algorithm), expressed purely as DataFrame joins/aggregations so it runs
+shuffle-partitioned at any scale:
+
+    large-star: for each node u, connect every neighbor v > u to
+                m = min(N(u) ∪ {u})
+    small-star: for each node u, connect every neighbor v <= u (and u)
+                to m = min over that set
+
+Converges in O(log^2 n) rounds; each round is two shuffles. Node labels
+are arbitrary orderable strings (we use md5 term ids — deterministic and
+collision-safe); min is lexicographic. Every round is localCheckpoint-ed
+(cluster deployments write checkpoint tables instead — see
+plans/pipeline.py) to truncate the iterative lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """edges: (u, v) undirected, emitted once per unordered pair."""
+    bidir = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("mv", "u").alias("m"))
+    out = (
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient edges high -> low
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    joined = e.join(mins, "u")
+    out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+        mins.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "term_id",
+    max_iterations: int = 20,
+    checkpoint=None,
+) -> DataFrame:
+    """Return (node_col, entity_id): each node labeled with the minimum
+    node id of its component.
+
+    ``pairs`` are matched edges; ``nodes`` (optional) adds singleton nodes
+    that appear in no pair. ``checkpoint`` is an optional callable
+    DataFrame -> DataFrame used to persist/truncate lineage between rounds
+    (defaults to localCheckpoint; the pipeline runner passes a parquet
+    writer for kill-resume durability).
+    """
+    if checkpoint is None:
+        def checkpoint(df: DataFrame) -> DataFrame:  # noqa: ANN001
+            return df.localCheckpoint(eager=True)
+
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    ).dropDuplicates(["u", "v"])
+    edges = checkpoint(edges)
+
+    for _ in range(max_iterations):
+        edges2 = checkpoint(_small_star(_large_star(edges)))
+
+        # convergence: edge set stable (order-insensitive checksum; decimal
+        # sum cannot overflow under ANSI mode)
+        def _checksum(df: DataFrame):
+            return df.select(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+                F.count(F.lit(1)).alias("c"),
+            ).first()
+
+        h_old = _checksum(edges)
+        h_new = _checksum(edges2)
+        edges = edges2
+        if h_old == h_new:
+            break
+
+    # after convergence every edge points node -> component root
+    assign = edges.select(F.col("u").alias(node_col), F.col("v").alias("entity_id"))
+    # root nodes map to themselves; singletons likewise
+    roots = edges.select(F.col("v").alias(node_col)).distinct().join(
+        assign.select(node_col), node_col, "left_anti"
+    ).select(F.col(node_col), F.col(node_col).alias("entity_id"))
+    assign = assign.unionByName(roots)
+    if nodes is not None:
+        singles = (
+            nodes.select(F.col(node_col)).distinct()
+            .join(assign.select(node_col), node_col, "left_anti")
+            .select(F.col(node_col), F.col(node_col).alias("entity_id"))
+        )
+        assign = assign.unionByName(singles)
+    # deterministic: min label wins even if a round budget stopped short of
+    # full convergence
+    return assign.groupBy(node_col).agg(F.min("entity_id").alias("entity_id"))

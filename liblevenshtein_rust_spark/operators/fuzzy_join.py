@@ -1,0 +1,244 @@
+"""Blocked fuzzy (edit-distance) joins — the engine's central operator.
+
+Re-expresses the reference's automaton-intersection query
+(``Transducer::query(term, n)``, /root/reference/src/transducer/mod.rs:360-369
+— semantically a similarity join with predicate d(a,b) <= n) as:
+
+    explode blocking keys  ->  equi-join on key hash  ->  dedupe pairs
+      ->  attach texts  ->  vectorized banded-DP verify  ->  filter d <= n
+
+Never a cartesian product: blocking keys prune exactly like the automaton
+prunes dictionary subtrees. Scale notes:
+
+- Keys are xxhash64-hashed: the key-explode shuffle carries (id, int64)
+  pairs, never text, regardless of turn length.
+- Candidate pairs are (id_a, id_b) only; texts are attached by joining the
+  (much smaller, distinct-term) dictionary back in. Dictionary distinctness
+  also kills the classic transcript skew source — a million "ok" turns are
+  ONE dictionary term.
+- Pair canonicalization (least/greatest) + dropDuplicates mirrors the
+  reference's SymmetricPair memo key (/root/reference/src/distance/mod.rs:37-57).
+- AQE skew-join splitting + runtime bloom filters are enabled by the
+  session factory; blocking joins are plain shuffled equi-joins that AQE
+  can re-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from liblevenshtein_rust_spark.functions.blocking_keys import (
+    deletion_keys,
+    effective_depth,
+    hash_keys,
+    probe_keys,
+    segment_keys,
+)
+from liblevenshtein_rust_spark.functions.canonicalize import canon_text, term_id
+from liblevenshtein_rust_spark.functions.distance import (
+    STANDARD,
+    TRANSPOSITION,
+    make_distance_udf,
+)
+
+#: strings at or below this length use deletion-neighborhood blocking
+#: (narrower fan-out); longer strings use PassJoin segment blocking.
+SHORT_MAX = 24
+
+
+def build_dictionary(df: DataFrame, text_col: str = "text",
+                     canonicalize: bool = True) -> DataFrame:
+    """Distinct-term dictionary: (term_id, term, freq).
+
+    The Spark analog of ``DoubleArrayTrie::from_terms``
+    (/root/reference/src/dictionary/double_array_trie.rs:807): the
+    "dictionary" is a DataFrame of distinct canonical texts; freq is the
+    MappedDictionary-style value column.
+    """
+    c = canon_text(text_col) if canonicalize else F.col(text_col)
+    return (
+        df.select(c.alias("term"))
+        .where(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(term_id("term").alias("term_id"), "term", "freq")
+    )
+
+
+def _seg_k(n: int, variant: str) -> int:
+    # one straddling swap / merge / split can damage two adjacent segments,
+    # so non-standard variants need the standard-distance bound 2n
+    return n if variant == STANDARD else 2 * n
+
+
+def _explode_keys(df: DataFrame, id_col: str, text_col: str, keys: Column) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("_bid"), F.explode(hash_keys(keys)).alias("_bkey"))
+    )
+
+
+def _candidates_from_keys(left_keys: DataFrame, right_keys: DataFrame,
+                          self_join: bool) -> DataFrame:
+    """Join exploded key tables -> distinct candidate id pairs."""
+    l = left_keys.withColumnRenamed("_bid", "_ida")
+    r = right_keys.withColumnRenamed("_bid", "_idb")
+    cond = l["_bkey"] == r["_bkey"]
+    pairs = l.join(r, cond, "inner").select("_ida", "_idb")
+    if self_join:
+        pairs = pairs.where(F.col("_ida") < F.col("_idb"))
+    return pairs.dropDuplicates(["_ida", "_idb"])
+
+
+def _score_pairs(pairs: DataFrame, left: DataFrame, right: DataFrame,
+                 l_id: str, l_text: str, r_id: str, r_text: str,
+                 n: int, variant: str) -> DataFrame:
+    lt = left.select(F.col(l_id).alias("_ida"), F.col(l_text).alias("_ta")).dropDuplicates(["_ida"])
+    rt = right.select(F.col(r_id).alias("_idb"), F.col(r_text).alias("_tb")).dropDuplicates(["_idb"])
+    with_text = pairs.join(lt, "_ida").join(rt, "_idb")
+    # cheap JVM-side prefilter before the (Arrow) scoring kernel: every
+    # variant changes length by at most 1 per edit
+    with_text = with_text.where(
+        F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(n)
+    )
+    dist = make_distance_udf(n, variant)
+    scored = with_text.withColumn("distance", dist(F.col("_ta"), F.col("_tb")))
+    return scored.where(F.col("distance") <= n)
+
+
+def _keys_for(df: DataFrame, id_col: str, text_col: str, n: int, variant: str,
+              method: str, role: str) -> DataFrame:
+    """role: 'index' | 'probe' | 'both' (self-join emits both sides)."""
+    depth = effective_depth(n, variant)
+    k = _seg_k(n, variant)
+    short = F.length(F.col(text_col)) <= SHORT_MAX
+
+    if method == "deletion":
+        keys = deletion_keys(text_col, depth)
+        return _explode_keys(df, id_col, text_col, keys)
+    if method == "segment":
+        if role == "index":
+            keys = segment_keys(text_col, k)
+        elif role == "probe":
+            keys = probe_keys(text_col, k, len_tol=n)
+        else:  # both
+            keys = F.concat(segment_keys(text_col, k),
+                            probe_keys(text_col, k, len_tol=n))
+        return _explode_keys(df, id_col, text_col, keys)
+    if method == "hybrid":
+        # short strings: deletion keys (cheap, exact); long strings: segment
+        # keys. Pairs straddling the boundary are covered because BOTH
+        # routes are generated for strings within n of SHORT_MAX.
+        near = (F.length(F.col(text_col)) >= SHORT_MAX - n) & \
+               (F.length(F.col(text_col)) <= SHORT_MAX + n)
+        del_side = df.where(short | near).select(
+            F.col(id_col).alias("_bid"),
+            F.explode(hash_keys(deletion_keys(text_col, depth))).alias("_bkey"),
+        )
+        if role == "index":
+            seg = segment_keys(text_col, k)
+        elif role == "probe":
+            seg = probe_keys(text_col, k, len_tol=n)
+        else:
+            seg = F.concat(segment_keys(text_col, k),
+                           probe_keys(text_col, k, len_tol=n))
+        seg_side = df.where(~short | near).select(
+            F.col(id_col).alias("_bid"),
+            F.explode(hash_keys(seg)).alias("_bkey"),
+        )
+        return del_side.unionByName(seg_side)
+    raise ValueError(f"unknown blocking method {method!r}")
+
+
+def _resolve_method(*dfs_and_cols: tuple[DataFrame, str], method: str) -> str:
+    if method != "auto":
+        return method
+    max_len = 0
+    for df, col in dfs_and_cols:
+        v = df.select(F.max(F.length(F.col(col)))).first()[0]
+        max_len = max(max_len, v or 0)
+    return "deletion" if max_len <= SHORT_MAX else "segment"
+
+
+def fuzzy_join(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    *,
+    n: int,
+    variant: str = STANDARD,
+    method: str = "auto",
+    q_id: str = "q_id",
+    q_text: str = "q_text",
+    d_id: str = "term_id",
+    d_text: str = "term",
+) -> DataFrame:
+    """Similarity join: all (query, term) pairs with distance(q, t) <= n.
+
+    Output columns: q_id, q_text, term_id, term, distance — one row per
+    matching pair, exact and complete (the blocked join is recall-lossless;
+    the banded DP is the exact distance).
+    """
+    method = _resolve_method((queries, q_text), (dictionary, d_text), method=method)
+    qk = _keys_for(queries, q_id, q_text, n, variant, method, role="probe")
+    dk = _keys_for(dictionary, d_id, d_text, n, variant, method, role="index")
+    pairs = _candidates_from_keys(qk, dk, self_join=False)
+    scored = _score_pairs(pairs, queries, dictionary, q_id, q_text, d_id, d_text,
+                          n, variant)
+    return scored.select(
+        F.col("_ida").alias(q_id), F.col("_ta").alias(q_text),
+        F.col("_idb").alias(d_id), F.col("_tb").alias(d_text),
+        "distance",
+    )
+
+
+def fuzzy_self_join(
+    terms: DataFrame,
+    *,
+    n: int,
+    variant: str = STANDARD,
+    method: str = "auto",
+    id_col: str = "term_id",
+    text_col: str = "term",
+) -> DataFrame:
+    """All unordered distinct-term pairs with distance <= n (id_a < id_b).
+
+    Output: id_a, term_a, id_b, term_b, distance.
+    """
+    method = _resolve_method((terms, text_col), method=method)
+    keys = _keys_for(terms, id_col, text_col, n, variant, method, role="both")
+    pairs = _candidates_from_keys(keys, keys, self_join=True)
+    scored = _score_pairs(pairs, terms, terms, id_col, text_col, id_col, text_col,
+                          n, variant)
+    return scored.select(
+        F.col("_ida").alias("id_a"), F.col("_ta").alias("term_a"),
+        F.col("_idb").alias("id_b"), F.col("_tb").alias("term_b"),
+        "distance",
+    )
+
+
+def fuzzy_top_k(matches: DataFrame, k: int, query_col: str = "q_id",
+                order_cols: tuple[str, str] = ("distance", "term")) -> DataFrame:
+    """Ordered-query/top-k semantics: per query, rank by (distance ASC,
+    term ASC) and keep k — the reference's OrderedQueryIterator + limit
+    (/root/reference/src/transducer/ordered_query.rs:64-150,
+    builder_api.rs:209-214)."""
+    win = Window.partitionBy(query_col).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    return (
+        matches.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+    )
+
+
+def fuzzy_multimap(matches: DataFrame, values: DataFrame,
+                   query_col: str = "q_id", term_col: str = "term_id",
+                   value_col: str = "value") -> DataFrame:
+    """FuzzyMultiMap::query analog (/root/reference/src/cache/multimap.rs:288):
+    aggregate the values of every fuzzy-matched term per query.
+
+    Returns (query_col, values: sorted distinct array) — the BTreeSet-union
+    aggregation flavor (multimap.rs:83-158)."""
+    joined = matches.join(values, term_col)
+    return joined.groupBy(query_col).agg(
+        F.array_sort(F.collect_set(F.col(value_col))).alias("values"))

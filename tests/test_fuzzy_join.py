@@ -1,0 +1,119 @@
+"""Fuzzy-join correctness vs brute-force oracle.
+
+Mirrors the reference's query semantics tests
+(/root/reference/tests/query_comprehensive_test.rs — the fixed 27-term
+dictionary; /root/reference/tests/proptest_levenshtein.rs:63-120 —
+soundness + completeness properties). The Spark result must equal the
+brute-force cross-join + exact DP at every n and variant.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark.functions.distance import (
+    MERGE_AND_SPLIT,
+    STANDARD,
+    TRANSPOSITION,
+    distance_py,
+)
+from liblevenshtein_rust_spark.operators.fuzzy_join import (
+    build_dictionary,
+    fuzzy_join,
+    fuzzy_self_join,
+    fuzzy_top_k,
+)
+
+# /root/reference/tests/query_comprehensive_test.rs:6-13
+DICT27 = [
+    "a", "ab", "abc", "abcd", "abcde", "b", "bc", "bcd", "bcde", "test",
+    "testing", "tested", "tester", "tests", "best", "rest", "nest", "west",
+    "quest", "foo", "food", "fool", "football", "bar", "bark", "barn", "barley",
+]
+QUERIES = ["test", "tset", "quuo", "fool", "barnn", "xyz", "", "abcf"]
+
+
+def _oracle(queries, terms, n, variant):
+    out = set()
+    for q in queries:
+        for t in terms:
+            d = distance_py(q, t, variant)
+            if d <= n:
+                out.add((q, t, d))
+    return out
+
+
+@pytest.fixture(scope="module")
+def dict_df(spark):
+    df = spark.createDataFrame([(t,) for t in DICT27], ["text"])
+    return build_dictionary(df).cache()
+
+
+@pytest.fixture(scope="module")
+def query_df(spark):
+    return spark.createDataFrame(
+        [(q, q) for q in QUERIES], ["q_id", "q_text"]).cache()
+
+
+@pytest.mark.parametrize("variant", [STANDARD, TRANSPOSITION, MERGE_AND_SPLIT])
+@pytest.mark.parametrize("n", [0, 1, 2, 3])
+def test_fuzzy_join_equals_bruteforce(spark, dict_df, query_df, n, variant):
+    got = {
+        (r.q_text, r.term, r.distance)
+        for r in fuzzy_join(query_df, dict_df, n=n, variant=variant,
+                            method="deletion").collect()
+    }
+    assert got == _oracle(QUERIES, DICT27, n, variant)
+
+
+@pytest.mark.parametrize("variant", [STANDARD, TRANSPOSITION])
+def test_fuzzy_join_segment_method(spark, dict_df, query_df, variant):
+    got = {
+        (r.q_text, r.term, r.distance)
+        for r in fuzzy_join(query_df, dict_df, n=2, variant=variant,
+                            method="segment").collect()
+    }
+    assert got == _oracle(QUERIES, DICT27, 2, variant)
+
+
+def test_fuzzy_self_join_equals_bruteforce(spark, dict_df):
+    got = {
+        (min(r.term_a, r.term_b), max(r.term_a, r.term_b), r.distance)
+        for r in fuzzy_self_join(dict_df, n=2, method="deletion").collect()
+    }
+    exp = set()
+    for i, a in enumerate(DICT27):
+        for b in DICT27[i + 1:]:
+            d = distance_py(a, b, STANDARD)
+            if d <= 2:
+                exp.add((min(a, b), max(a, b), d))
+    assert got == exp
+
+
+def test_large_distance_regression(spark):
+    """query_ordered("quuo", 99) over 5 terms returns all 5
+    (/root/reference/tests/query_comprehensive_test.rs:100-121)."""
+    terms = ["foo", "bar", "baz", "quo", "qux"]
+    d = build_dictionary(spark.createDataFrame([(t,) for t in terms], ["text"]))
+    q = spark.createDataFrame([("quuo", "quuo")], ["q_id", "q_text"])
+    # depth capped at 7 in the reference; deletion blocking at huge n is
+    # the full powerset so use segment method for the large-n regression
+    got = fuzzy_join(q, d, n=7, method="segment").collect()
+    assert {r.term for r in got} == set(terms)
+
+
+def test_ordered_topk_semantics(spark, dict_df):
+    """Ordered query: distance ASC then term ASC; top-k cuts lazily
+    (/root/reference/src/transducer/ordered_query.rs:30-34)."""
+    q = spark.createDataFrame([("test", "test")], ["q_id", "q_text"])
+    m = fuzzy_join(q, dict_df, n=1, method="deletion")
+    top = fuzzy_top_k(m, 3).orderBy("rank").collect()
+    assert [(r.term, r.distance) for r in top] == [
+        ("test", 0), ("best", 1), ("nest", 1)]
+
+
+def test_distance_zero_exact_match_only(spark, dict_df):
+    q = spark.createDataFrame([("test", "test")], ["q_id", "q_text"])
+    got = fuzzy_join(q, dict_df, n=0, method="deletion").collect()
+    assert len(got) == 1 and got[0].term == "test" and got[0].distance == 0
