@@ -82,10 +82,10 @@ def _explode_keys(df: DataFrame, id_col: str, text_col: str, keys: Column) -> Da
 def _candidates_from_keys(left_keys: DataFrame, right_keys: DataFrame,
                           self_join: bool) -> DataFrame:
     """Join exploded key tables -> distinct candidate id pairs."""
-    l = left_keys.withColumnRenamed("_bid", "_ida")
-    r = right_keys.withColumnRenamed("_bid", "_idb")
-    cond = l["_bkey"] == r["_bkey"]
-    pairs = l.join(r, cond, "inner").select("_ida", "_idb")
+    l = left_keys.withColumnRenamed("_bid", "_ida").alias("lk")
+    r = right_keys.withColumnRenamed("_bid", "_idb").alias("rk")
+    pairs = l.join(r, F.col("lk._bkey") == F.col("rk._bkey"), "inner").select(
+        F.col("lk._ida").alias("_ida"), F.col("rk._idb").alias("_idb"))
     if self_join:
         pairs = pairs.where(F.col("_ida") < F.col("_idb"))
     return pairs.dropDuplicates(["_ida", "_idb"])

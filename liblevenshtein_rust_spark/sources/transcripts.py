@@ -155,7 +155,12 @@ def synth_transcripts(
             for _ in range(n_edits):
                 text = _apply_edit(rng, text)
         else:
-            base = str(rng.choice(_VOCAB)) + f" #{len(bases):04d}"
+            # distinguish bases sharing a vocab sentence with a random
+            # 8-char tag: pairwise distance between tags is ~8 w.h.p., far
+            # beyond any threshold we cluster at, so distinct entities are
+            # genuinely distinct utterances
+            tag = "".join(str(rng.choice(_ALPHABET)) for _ in range(8))
+            base = str(rng.choice(_VOCAB)) + " #" + tag
             eid = f"e{len(bases):05d}"
             bases.append((eid, base))
             text, n_edits = base, 0
