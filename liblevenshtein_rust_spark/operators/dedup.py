@@ -1,0 +1,168 @@
+"""Document deduplication operators for training-data pipelines.
+
+Exact (hash), MinHash+LSH, SimHash, and token-set Jaccard near-dup —
+the scale path for "which documents are the same/nearly the same", the
+document-level sibling of the turn-level fuzzy join. All JVM-side column
+expressions except nothing: even the MinHash signatures are built with
+Spark's xxhash64 + aggregate higher-order functions, so there is no
+Python in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark.functions.canonicalize import canon_text
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Group identical canonical texts: (fp, n_docs, rep_id)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.encode(canon_text(text_col), "UTF-8")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("rep_id"))
+    )
+
+
+def _shingles(text_col: str, k: int) -> F.Column:
+    """Word k-shingles of canonical text (distinct)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k} + 1, 1)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {k}), ' ')))"
+    )
+
+
+def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 32,
+                       shingle_k: int = 3) -> DataFrame:
+    """MinHash signature per doc: sig[h] = min over shingles of
+    xxhash64(shingle, seed=h). Entirely JVM-side (transform + aggregate)."""
+    sh = _shingles(text_col, shingle_k)
+    sig = F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), h -> "
+        "array_min(transform(_sh, s -> xxhash64(s, h))))"
+    )
+    return (
+        docs.select(F.col(id_col), sh.alias("_sh"))
+        .select(F.col(id_col), sig.alias("signature"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 32,
+                      bands: int = 8, shingle_k: int = 3,
+                      jaccard_threshold: float = 0.7) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified with exact
+    token-shingle Jaccard. Returns (id_a, id_b, n_common, n_union)
+    with n_common/n_union >= threshold; integer counts keep downstream
+    comparisons float-free.
+
+    bands * rows_per_band == num_hashes; a pair collides if any band of
+    the signature matches exactly (hashes of band slices are the block
+    keys — same blocking pattern as the fuzzy join, different keys).
+    """
+    rows_per = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col,
+                              num_hashes=num_hashes, shingle_k=shingle_k)
+    band_keys = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"xxhash64(b, array_join(slice(signature, b * {rows_per} + 1, {rows_per}), ',')))"
+    )
+    keyed = sigs.select(F.col(id_col).alias("_bid"),
+                        F.explode(band_keys).alias("_bkey"))
+    l = keyed.withColumnRenamed("_bid", "id_a").alias("lk")
+    r = keyed.withColumnRenamed("_bid", "id_b").alias("rk")
+    cand = (
+        l.join(r, F.col("lk._bkey") == F.col("rk._bkey"))
+        .select(F.col("lk.id_a").alias("id_a"), F.col("rk.id_b").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    toks = docs.select(F.col(id_col),
+                       F.array_distinct(_shingles(text_col, shingle_k)).alias("_t"))
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
+    verified = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("n_common"),
+            F.size(F.array_union("_ta", "_tb")).alias("n_union"),
+        )
+        # integer comparison: common/union >= threshold
+        .where(F.col("n_common") * F.lit(1000) >=
+               F.lit(int(jaccard_threshold * 1000)) * F.col("n_union"))
+    )
+    return verified
+
+
+def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", group_col: str | None = None,
+                        min_ratio_milli: int = 600) -> DataFrame:
+    """Exact token-set Jaccard join (no LSH — the small-dim baseline):
+    pairs within the same ``group_col`` (e.g. language) whose distinct-word
+    Jaccard >= min_ratio_milli/1000. Integer-only output."""
+    toks = docs.select(
+        F.col(id_col), *( [F.col(group_col)] if group_col else [] ),
+        F.array_distinct(F.split(canon_text(text_col), " ")).alias("_t"),
+    )
+    a = toks.select(F.col(id_col).alias("id_a"),
+                    *( [F.col(group_col).alias("_g")] if group_col else [] ),
+                    F.col("_t").alias("_ta"))
+    b = toks.select(F.col(id_col).alias("id_b"),
+                    *( [F.col(group_col).alias("_g")] if group_col else [] ),
+                    F.col("_t").alias("_tb"))
+    on = ["_g"] if group_col else []
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("n_common"),
+            F.size(F.array_union("_ta", "_tb")).alias("n_union"),
+        )
+        .where(F.col("n_common") * 1000 >= min_ratio_milli * F.col("n_union"))
+    )
+
+
+def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup: 64-bit signature from word hashes; candidate
+    blocking on 4 x 16-bit sub-bands (pigeonhole: hamming <= 3 guarantees
+    one equal band; wider thresholds trade recall, logged by caller);
+    verified with exact popcount of xor. Output (id_a, id_b, hamming)."""
+    words = F.split(canon_text(text_col), " ")
+    # bit b of signature = sign of the per-bit vote:
+    # vote[b] = sum over words of (bit b of xxhash64(word) ? +1 : -1)
+    votes = F.expr(
+        "transform(sequence(0, 63), b -> "
+        "aggregate(_w, 0L, (acc, w) -> acc + if(((xxhash64(w) >> b) & 1) = 1, 1L, -1L)))"
+    )
+    sig = F.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, b) -> "
+        "acc + if(element_at(_v, b + 1) > 0, shiftleft(1L, b), 0L))"
+    )
+    sigs = (
+        docs.select(F.col(id_col), words.alias("_w"))
+        .select(F.col(id_col), votes.alias("_v"))
+        .select(F.col(id_col), sig.alias("sig"))
+    )
+    bands = F.expr(
+        "transform(sequence(0, 3), b -> "
+        "concat(b, ':', cast((sig >> (b * 16)) & 65535 as string)))"
+    )
+    keyed = sigs.select(F.col(id_col).alias("_bid"), F.col("sig"),
+                        F.explode(bands).alias("_bkey"))
+    l = keyed.select(F.col("_bid").alias("id_a"), F.col("sig").alias("_sa"), "_bkey").alias("lk")
+    r = keyed.select(F.col("_bid").alias("id_b"), F.col("sig").alias("_sb"), "_bkey").alias("rk")
+    cand = (
+        l.join(r, F.col("lk._bkey") == F.col("rk._bkey"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return cand

@@ -81,7 +81,17 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp(F.lit(_EPOCH + 1000000) + F.col("doc_id")).alias("ts"),
     )
     _ = p  # parameters documented above; inlined in exprs for SQL parity
-    return orig.unionByName(mutated)
+    # exact duplicates: every doc_id % 10 == 1 repeats verbatim in another
+    # conversation (distance-0 pairs for exact-dup operators)
+    dup = docs.where(F.col("doc_id") % 10 == 1).select(
+        F.concat(F.lit("conv_"), ((F.col("doc_id") + 29) % 50).cast("string")).alias("conv_id"),
+        (F.floor(F.col("doc_id") / 50) * 2 + 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit(_EPOCH + 2000000) + F.col("doc_id")).alias("ts"),
+    )
+    return orig.unionByName(mutated).unionByName(dup)
 
 
 # ---------------------------------------------------------------------------
