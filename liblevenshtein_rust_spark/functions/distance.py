@@ -45,10 +45,20 @@ _INF = np.int32(2**30)
 # Pure-Python oracles
 # ---------------------------------------------------------------------------
 
-def levenshtein_py(a: str, b: str) -> int:
+def _mk_eq(subst_pairs=None):
+    """Equality predicate extended with zero-cost substitution pairs
+    (the reference's Restricted policy, substitution_policy.rs:128)."""
+    if not subst_pairs:
+        return lambda x, y: x == y
+    ps = frozenset(subst_pairs)
+    return lambda x, y: x == y or (x, y) in ps or (y, x) in ps
+
+
+def levenshtein_py(a: str, b: str, subst_pairs=None) -> int:
     """Standard Levenshtein distance (two-row DP, codepoint-level)."""
     if a == b:
         return 0
+    eq = _mk_eq(subst_pairs)
     m, n = len(a), len(b)
     if m == 0:
         return n
@@ -59,16 +69,18 @@ def levenshtein_py(a: str, b: str) -> int:
         curr = [i] + [0] * n
         ca = a[i - 1]
         for j in range(1, n + 1):
-            cost = 0 if ca == b[j - 1] else 1
+            cost = 0 if eq(ca, b[j - 1]) else 1
             curr[j] = min(prev[j] + 1, curr[j - 1] + 1, prev[j - 1] + cost)
         prev = curr
     return prev[n]
 
 
-def transposition_py(a: str, b: str) -> int:
-    """Damerau-Levenshtein (adjacent transposition = 1 edit; 3-row DP)."""
+def transposition_py(a: str, b: str, subst_pairs=None) -> int:
+    """Damerau-Levenshtein (adjacent transposition = 1 edit; 3-row DP,
+    restricted/OSA variant like the reference's transposition_distance)."""
     if a == b:
         return 0
+    eq = _mk_eq(subst_pairs)
     m, n = len(a), len(b)
     if m == 0:
         return n
@@ -79,9 +91,9 @@ def transposition_py(a: str, b: str) -> int:
     for i in range(1, m + 1):
         curr = [i] + [0] * n
         for j in range(1, n + 1):
-            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cost = 0 if eq(a[i - 1], b[j - 1]) else 1
             d = min(prev[j] + 1, curr[j - 1] + 1, prev[j - 1] + cost)
-            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+            if i > 1 and j > 1 and eq(a[i - 1], b[j - 2]) and eq(a[i - 2], b[j - 1]):
                 d = min(d, two_ago[j - 2] + 1)
             curr[j] = d
         two_ago, prev = prev, curr
@@ -146,60 +158,109 @@ def distance_py(a: str, b: str, variant: str = STANDARD) -> int:
 # Vectorized batch kernel
 # ---------------------------------------------------------------------------
 
-def _encode_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Series of strings -> (codes [B, Lmax] uint32 matrix, lengths [B]).
+def _encode_unique(strings) -> tuple[np.ndarray, np.ndarray]:
+    """list/array of unique strings -> (codes [U, Lmax] uint32, lengths [U]).
 
-    Uses utf-32-le encoding + one frombuffer over the concatenated bytes —
-    no per-character Python. Padding value 0 (NUL never equals a real char
-    comparison because comparisons are masked by length).
+    utf-32-le encode + one frombuffer over the concatenation — no
+    per-character Python. Row-major masked scatter places each string's
+    codepoints without any index arithmetic (mask order == concat order).
     """
-    s = texts.fillna("").astype(str)
-    lens = s.str.len().to_numpy(dtype=np.int64)
-    joined = "".join(s.tolist())
-    codes_flat = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
-    B = len(s)
-    lmax = int(lens.max()) if B else 0
-    out = np.zeros((B, lmax), dtype=np.uint32)
+    lens = np.fromiter((len(x) for x in strings), dtype=np.int32,
+                       count=len(strings))
+    U = len(strings)
+    lmax = int(lens.max()) if U else 0
+    out = np.zeros((U, max(lmax, 1)), dtype=np.uint32)
     if lmax:
-        offs = np.concatenate(([0], np.cumsum(lens)))
-        cols = np.arange(lmax)[None, :]
-        mask = cols < lens[:, None]
-        flat_idx = offs[:-1, None] + cols
-        out[mask] = codes_flat[np.minimum(flat_idx, len(codes_flat) - 1)[mask]]
+        joined = "".join(strings)
+        codes_flat = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+        mask = np.arange(lmax, dtype=np.int32)[None, :] < lens[:, None]
+        out[:, :lmax][mask] = codes_flat
     return out, lens
 
 
+def _encode_batch(texts: pd.Series, with_reversed: bool = False):
+    """Series of strings -> (codes [B, Lmax] uint32, lengths [B]
+    [, reversed codes [B, Lmax]]).
+
+    Candidate batches repeat the same terms many times (each dictionary
+    term joins several pairs), so encode unique strings once and gather —
+    a large constant-factor win over per-row encoding. The reversed
+    matrix makes common-suffix detection a cheap left-aligned compare.
+    """
+    s = texts.fillna("").astype(str)
+    codes, uniques = pd.factorize(s)
+    ulist = list(uniques)
+    uc, ul = _encode_unique(ulist)
+    if not with_reversed:
+        return uc[codes], ul[codes]
+    ur, _ = _encode_unique([x[::-1] for x in ulist])
+    return uc[codes], ul[codes], ur[codes]
+
+
+def _pair_keys(subst_pairs) -> np.ndarray | None:
+    """frozenset of (cp_a, cp_b) -> sorted uint64 key array (both
+    directions), for vectorized membership tests."""
+    if not subst_pairs:
+        return None
+    ks = set()
+    for x, y in subst_pairs:
+        ks.add((int(x) << 32) | int(y))
+        ks.add((int(y) << 32) | int(x))
+    return np.sort(np.fromiter(ks, dtype=np.uint64, count=len(ks)))
+
+
+def _eqmat(a: np.ndarray, b: np.ndarray, pair_keys: np.ndarray | None) -> np.ndarray:
+    """Elementwise extended equality (== or whitelisted substitution)."""
+    eq = a == b
+    if pair_keys is not None:
+        k = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        eq |= np.isin(k, pair_keys)
+    return eq
+
+
 def _strip_common_affixes(
-    ac: np.ndarray, al: np.ndarray, bc: np.ndarray, bl: np.ndarray
+    ac: np.ndarray, al: np.ndarray, ar: np.ndarray,
+    bc: np.ndarray, bl: np.ndarray, br: np.ndarray,
+    pair_keys: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Batch analog of the reference's strip_common_affixes
     (/root/reference/src/distance/mod.rs:111-147): returns re-packed,
-    left-aligned codepoint matrices with shared prefix/suffix removed."""
+    left-aligned codepoint matrices with shared prefix/suffix removed.
+
+    ``ar``/``br`` hold the reversed strings, so the common suffix is the
+    leading equal run of the reversed matrices — every comparison is a
+    sequential left-aligned pass, no per-row index gathers.
+    """
     B = ac.shape[0]
     if B == 0:
         return ac, al, bc, bl
     lmax = max(ac.shape[1], bc.shape[1], 1)
-    ac = np.pad(ac, ((0, 0), (0, lmax - ac.shape[1])))
-    bc = np.pad(bc, ((0, 0), (0, lmax - bc.shape[1])))
-    cols = np.arange(lmax)[None, :]
-    minl = np.minimum(al, bl)
-    # prefix: first position where chars differ (within min length)
-    eq = (ac == bc) & (cols < minl[:, None])
-    # cumulative AND along axis 1 → prefix run length
-    pref = np.cumprod(eq, axis=1, dtype=bool).sum(axis=1)
-    # suffix: compare right-aligned, don't overlap prefix
-    ridx_a = np.clip(al[:, None] - 1 - cols, 0, lmax - 1)
-    ridx_b = np.clip(bl[:, None] - 1 - cols, 0, lmax - 1)
-    req = (np.take_along_axis(ac, ridx_a, axis=1) == np.take_along_axis(bc, ridx_b, axis=1))
+    if ac.shape[1] < lmax:
+        ac = np.pad(ac, ((0, 0), (0, lmax - ac.shape[1])))
+        ar = np.pad(ar, ((0, 0), (0, lmax - ar.shape[1])))
+    if bc.shape[1] < lmax:
+        bc = np.pad(bc, ((0, 0), (0, lmax - bc.shape[1])))
+        br = np.pad(br, ((0, 0), (0, lmax - br.shape[1])))
+    cols = np.arange(lmax, dtype=np.int32)[None, :]
+    minl = np.minimum(al, bl).astype(np.int32)
+    # prefix: length of the leading equal run (within min length)
+    eq = _eqmat(ac, bc, pair_keys)
+    eq &= cols < minl[:, None]
+    pref = np.logical_and.accumulate(eq, axis=1).sum(axis=1, dtype=np.int32)
+    # suffix: leading equal run of the reversed strings, not overlapping
+    # the prefix
+    req = _eqmat(ar, br, pair_keys)
     req &= cols < (minl - pref)[:, None]
-    suff = np.cumprod(req, axis=1, dtype=bool).sum(axis=1)
+    suff = np.logical_and.accumulate(req, axis=1).sum(axis=1, dtype=np.int32)
     na = al - pref - suff
     nb = bl - pref - suff
-    # re-pack: gather codes[pref : pref+len] to the left edge
+    # re-pack: gather codes[pref : pref+len] to the left edge; residuals are
+    # short for near-dup pairs, so this gather touches few columns
     new_lmax = int(max(na.max(), nb.max(), 0)) if B else 0
-    ncols = np.arange(max(new_lmax, 1))[None, :]
-    ga = np.take_along_axis(ac, np.clip(pref[:, None] + ncols, 0, lmax - 1), axis=1)
-    gb = np.take_along_axis(bc, np.clip(pref[:, None] + ncols, 0, lmax - 1), axis=1)
+    ncols = np.arange(max(new_lmax, 1), dtype=np.int32)[None, :]
+    gidx = np.clip(pref[:, None] + ncols, 0, lmax - 1)
+    ga = np.take_along_axis(ac, gidx, axis=1)
+    gb = np.take_along_axis(bc, gidx, axis=1)
     ga[ncols >= na[:, None]] = 0
     gb[ncols >= nb[:, None]] = 0
     return ga[:, :max(new_lmax, 1)], na, gb[:, :max(new_lmax, 1)], nb
@@ -210,6 +271,7 @@ def batch_distance(
     b: pd.Series,
     max_distance: int,
     variant: str = STANDARD,
+    subst_pairs=None,
 ) -> np.ndarray:
     """Banded DP distance for a batch of pairs, vectorized across the batch.
 
@@ -227,9 +289,10 @@ def batch_distance(
     if B == 0:
         return out
 
-    ac, al = _encode_batch(a)
-    bc, bl = _encode_batch(b)
-    ac, al, bc, bl = _strip_common_affixes(ac, al, bc, bl)
+    pk = _pair_keys(subst_pairs)
+    ac, al, ar = _encode_batch(a, with_reversed=True)
+    bc, bl, br = _encode_batch(b, with_reversed=True)
+    ac, al, bc, bl = _strip_common_affixes(ac, al, ar, bc, bl, br, pk)
 
     # identical after stripping
     out[(al == 0) & (bl == 0)] = 0
@@ -253,14 +316,14 @@ def batch_distance(
         sa[swap], sb[swap] = sb[swap].copy(), sa[swap].copy()
         sla[swap], slb[swap] = slb[swap].copy(), sla[swap].copy()
 
-    res = _banded_dp(sa, sla, sb, slb, n, variant)
+    res = _banded_dp(sa, sla, sb, slb, n, variant, pk)
     out[idx] = res
     return out
 
 
 def _banded_dp(
     ac: np.ndarray, al: np.ndarray, bc: np.ndarray, bl: np.ndarray,
-    n: int, variant: str,
+    n: int, variant: str, pair_keys: np.ndarray | None = None,
 ) -> np.ndarray:
     """Core banded DP over band coordinates Dk[i, k] = D[i, i + k - n].
 
@@ -299,7 +362,7 @@ def _banded_dp(
         a_i = ac[:, i - 1][:, None] if i - 1 < ac.shape[1] else np.zeros((B, 1), np.uint32)
         jm1 = np.clip(jb - 1, 0, max(lmax_b - 1, 0))
         b_j = np.take_along_axis(bc, jm1, axis=1) if lmax_b else np.zeros((B, W), np.uint32)
-        eq = (a_i == b_j) & (jb >= 1)
+        eq = _eqmat(np.broadcast_to(a_i, b_j.shape), b_j, pair_keys) & (jb >= 1)
 
         # neighbors in band coords:
         #   D[i-1][j]   = prev[k+1]
@@ -316,7 +379,11 @@ def _banded_dp(
             jm2 = np.clip(jb - 2, 0, max(lmax_b - 1, 0))
             b_jm1 = np.take_along_axis(bc, jm2, axis=1) if lmax_b else b_j
             a_im1 = ac[:, i - 2][:, None]
-            tr_ok = (a_i == b_jm1) & (a_im1 == b_j) & (jb >= 2)
+            tr_ok = (
+                _eqmat(np.broadcast_to(a_i, b_jm1.shape), b_jm1, pair_keys)
+                & _eqmat(np.broadcast_to(a_im1, b_j.shape), b_j, pair_keys)
+                & (jb >= 2)
+            )
             best = np.where(tr_ok, np.minimum(best, two_ago + 1), best)
 
         if ms:
@@ -358,20 +425,23 @@ def _banded_dp(
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def make_distance_udf(max_distance: int, variant: str = STANDARD):
+def make_distance_udf(max_distance: int, variant: str = STANDARD,
+                      subst_pairs: frozenset | None = None):
     """Return a pandas UDF (a: str, b: str) -> int distance.
 
     Values above ``max_distance`` are reported as ``max_distance + 1``;
-    callers filter ``dist <= n``. Arrow-batched — the only Python in the
-    engine's hot path.
+    callers filter ``dist <= n``. ``subst_pairs`` is a frozenset of
+    codepoint pairs treated as zero-cost substitutions (Restricted
+    policy). Arrow-batched — the only Python in the engine's hot path.
     """
     from pyspark.sql.functions import pandas_udf
 
     n = int(max_distance)
     var = str(variant)
+    sp = subst_pairs
 
     @pandas_udf("int")
     def _dist(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(batch_distance(a, b, n, var))
+        return pd.Series(batch_distance(a, b, n, var, sp))
 
     return _dist

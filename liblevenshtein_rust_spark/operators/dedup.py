@@ -38,16 +38,25 @@ def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 32,
                        shingle_k: int = 3) -> DataFrame:
     """MinHash signature per doc: sig[h] = min over shingles of
-    xxhash64(shingle, seed=h). Entirely JVM-side (transform + aggregate)."""
-    sh = _shingles(text_col, shingle_k)
-    sig = F.expr(
-        f"transform(sequence(0, {num_hashes - 1}), h -> "
-        "array_min(transform(_sh, s -> xxhash64(s, h))))"
+    xxhash64(shingle, seed=h).
+
+    Physical shape matters here: explode shingles, hash each shingle once
+    per seed as plain (codegen) column expressions, then ONE hash-aggregate
+    with num_hashes min() columns. Higher-order lambda expressions
+    (transform/aggregate) are interpreted row-at-a-time in Spark and
+    projection collapse would re-inline the shingle computation into every
+    lambda — the explode+groupBy form keeps the whole path in whole-stage
+    codegen and map-side partial aggregation."""
+    sh = (
+        docs.select(F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("_s"))
+        .select(F.col(id_col),
+                *[F.xxhash64("_s", F.lit(h)).alias(f"_h{h}") for h in range(num_hashes)])
     )
-    return (
-        docs.select(F.col(id_col), sh.alias("_sh"))
-        .select(F.col(id_col), sig.alias("signature"))
-    )
+    agg = sh.groupBy(id_col).agg(
+        *[F.min(f"_h{h}").alias(f"_m{h}") for h in range(num_hashes)])
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{h}") for h in range(num_hashes)]).alias("signature"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
@@ -133,22 +142,26 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     blocking on 4 x 16-bit sub-bands (pigeonhole: hamming <= 3 guarantees
     one equal band; wider thresholds trade recall, logged by caller);
     verified with exact popcount of xor. Output (id_a, id_b, hamming)."""
-    words = F.split(canon_text(text_col), " ")
     # bit b of signature = sign of the per-bit vote:
-    # vote[b] = sum over words of (bit b of xxhash64(word) ? +1 : -1)
-    votes = F.expr(
-        "transform(sequence(0, 63), b -> "
-        "aggregate(_w, 0L, (acc, w) -> acc + if(((xxhash64(w) >> b) & 1) = 1, 1L, -1L)))"
+    # vote[b] = sum over words of (bit b of xxhash64(word) ? +1 : -1).
+    # Explode words, hash once, derive 64 vote columns as plain integer
+    # expressions, one hash-aggregate — all whole-stage codegen (see
+    # minhash_signatures for why lambdas are avoided).
+    wh = (
+        docs.select(F.col(id_col), F.explode(F.split(canon_text(text_col), " ")).alias("_w"))
+        .select(F.col(id_col), F.xxhash64("_w").alias("_h"))
+        .select(F.col(id_col),
+                *[(F.when(F.shiftright("_h", b).bitwiseAND(1) == 1, 1)
+                   .otherwise(-1)).alias(f"_b{b}") for b in range(64)])
     )
-    sig = F.expr(
-        "aggregate(sequence(0, 63), 0L, (acc, b) -> "
-        "acc + if(element_at(_v, b + 1) > 0, shiftleft(1L, b), 0L))"
-    )
-    sigs = (
-        docs.select(F.col(id_col), words.alias("_w"))
-        .select(F.col(id_col), votes.alias("_v"))
-        .select(F.col(id_col), sig.alias("sig"))
-    )
+    votes = wh.groupBy(id_col).agg(
+        *[F.sum(f"_b{b}").alias(f"_v{b}") for b in range(64)])
+    sig_expr = None
+    for b in range(64):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63
+                      else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sigs = votes.select(F.col(id_col), sig_expr.alias("sig"))
     bands = F.expr(
         "transform(sequence(0, 3), b -> "
         "concat(b, ':', cast((sig >> (b * 16)) & 65535 as string)))"

@@ -93,7 +93,7 @@ def _candidates_from_keys(left_keys: DataFrame, right_keys: DataFrame,
 
 def _score_pairs(pairs: DataFrame, left: DataFrame, right: DataFrame,
                  l_id: str, l_text: str, r_id: str, r_text: str,
-                 n: int, variant: str) -> DataFrame:
+                 n: int, variant: str, subst=None) -> DataFrame:
     lt = left.select(F.col(l_id).alias("_ida"), F.col(l_text).alias("_ta")).dropDuplicates(["_ida"])
     rt = right.select(F.col(r_id).alias("_idb"), F.col(r_text).alias("_tb")).dropDuplicates(["_idb"])
     with_text = pairs.join(lt, "_ida").join(rt, "_idb")
@@ -102,14 +102,24 @@ def _score_pairs(pairs: DataFrame, left: DataFrame, right: DataFrame,
     with_text = with_text.where(
         F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(n)
     )
-    dist = make_distance_udf(n, variant)
+    dist = make_distance_udf(n, variant,
+                             subst.codepoint_pairs() if subst else None)
     scored = with_text.withColumn("distance", dist(F.col("_ta"), F.col("_tb")))
     return scored.where(F.col("distance") <= n)
 
 
 def _keys_for(df: DataFrame, id_col: str, text_col: str, n: int, variant: str,
-              method: str, role: str) -> DataFrame:
-    """role: 'index' | 'probe' | 'both' (self-join emits both sides)."""
+              method: str, role: str, subst=None) -> DataFrame:
+    """role: 'index' | 'probe' | 'both' (self-join emits both sides).
+
+    With a SubstitutionSet, keys are generated over class-canonicalized
+    text (zero-cost-substitutable chars mapped to one representative) —
+    a recall-safe superset; exact semantics are restored by the pair-set
+    DP in scoring."""
+    if subst is not None:
+        src, dst = subst.translate_args()
+        if src:
+            df = df.withColumn(text_col, F.translate(F.col(text_col), src, dst))
     depth = effective_depth(n, variant)
     k = _seg_k(n, variant)
     short = F.length(F.col(text_col)) <= SHORT_MAX
@@ -172,19 +182,23 @@ def fuzzy_join(
     q_text: str = "q_text",
     d_id: str = "term_id",
     d_text: str = "term",
+    substitutions=None,
 ) -> DataFrame:
     """Similarity join: all (query, term) pairs with distance(q, t) <= n.
 
     Output columns: q_id, q_text, term_id, term, distance — one row per
     matching pair, exact and complete (the blocked join is recall-lossless;
-    the banded DP is the exact distance).
+    the banded DP is the exact distance). ``substitutions`` is an optional
+    SubstitutionSet of zero-cost character pairs (Restricted policy).
     """
     method = _resolve_method((queries, q_text), (dictionary, d_text), method=method)
-    qk = _keys_for(queries, q_id, q_text, n, variant, method, role="probe")
-    dk = _keys_for(dictionary, d_id, d_text, n, variant, method, role="index")
+    qk = _keys_for(queries, q_id, q_text, n, variant, method, role="probe",
+                   subst=substitutions)
+    dk = _keys_for(dictionary, d_id, d_text, n, variant, method, role="index",
+                   subst=substitutions)
     pairs = _candidates_from_keys(qk, dk, self_join=False)
     scored = _score_pairs(pairs, queries, dictionary, q_id, q_text, d_id, d_text,
-                          n, variant)
+                          n, variant, subst=substitutions)
     return scored.select(
         F.col("_ida").alias(q_id), F.col("_ta").alias(q_text),
         F.col("_idb").alias(d_id), F.col("_tb").alias(d_text),
@@ -200,16 +214,18 @@ def fuzzy_self_join(
     method: str = "auto",
     id_col: str = "term_id",
     text_col: str = "term",
+    substitutions=None,
 ) -> DataFrame:
     """All unordered distinct-term pairs with distance <= n (id_a < id_b).
 
     Output: id_a, term_a, id_b, term_b, distance.
     """
     method = _resolve_method((terms, text_col), method=method)
-    keys = _keys_for(terms, id_col, text_col, n, variant, method, role="both")
+    keys = _keys_for(terms, id_col, text_col, n, variant, method, role="both",
+                     subst=substitutions)
     pairs = _candidates_from_keys(keys, keys, self_join=True)
     scored = _score_pairs(pairs, terms, terms, id_col, text_col, id_col, text_col,
-                          n, variant)
+                          n, variant, subst=substitutions)
     return scored.select(
         F.col("_ida").alias("id_a"), F.col("_ta").alias("term_a"),
         F.col("_idb").alias("id_b"), F.col("_tb").alias("term_b"),
