@@ -266,6 +266,43 @@ def _strip_common_affixes(
     return ga[:, :max(new_lmax, 1)], na, gb[:, :max(new_lmax, 1)], nb
 
 
+def batch_prefix_distance(
+    q: pd.Series,
+    t: pd.Series,
+    max_distance: int,
+    variant: str = STANDARD,
+    subst_pairs=None,
+) -> np.ndarray:
+    """Prefix (autocomplete) distance: min over prefixes p of t of d(q, p).
+
+    The reference's prefix query mode — characters past the query's end
+    match free (/root/reference/src/transducer/transition.rs:189-192,
+    infer_prefix_distance at state.rs:264-281). Returns the exact value
+    when <= max_distance, else max_distance + 1.
+    """
+    n = int(max_distance)
+    B = len(q)
+    out = np.full(B, n + 1, dtype=np.int32)
+    if B == 0:
+        return out
+    pk = _pair_keys(subst_pairs)
+    ac, al = _encode_batch(q)
+    bc, bl = _encode_batch(t)
+    # a prefix longer than |q|+n can never be within n
+    bl = np.minimum(bl, al + n)
+    out[al == 0] = 0                       # empty query matches empty prefix
+    only_a = (bl == 0) & (al > 0)
+    out[only_a] = np.minimum(al[only_a], n + 1)
+    active = (al > 0) & (bl > 0) & (al - bl <= n)
+    if not active.any():
+        return out
+    idx = np.nonzero(active)[0]
+    res = _banded_dp(ac[idx], al[idx], bc[idx], bl[idx], n, variant, pk,
+                     prefix=True)
+    out[idx] = res
+    return out
+
+
 def batch_distance(
     a: pd.Series,
     b: pd.Series,
@@ -324,6 +361,7 @@ def batch_distance(
 def _banded_dp(
     ac: np.ndarray, al: np.ndarray, bc: np.ndarray, bl: np.ndarray,
     n: int, variant: str, pair_keys: np.ndarray | None = None,
+    prefix: bool = False,
 ) -> np.ndarray:
     """Core banded DP over band coordinates Dk[i, k] = D[i, i + k - n].
 
@@ -408,9 +446,14 @@ def _banded_dp(
         # harvest rows that finish at i == la
         fin = (al == i) & ~done
         if fin.any():
-            kfin = bl[fin] - i + n  # k = lb - la + n, within [0, W) given |Δ|<=n
-            vals = curr[fin, np.clip(kfin, 0, W - 1)]
-            r = np.where((kfin >= 0) & (kfin < W), vals, _INF)
+            if prefix:
+                # prefix mode: best over all prefixes = min over the final
+                # DP row (invalid cells are INF already)
+                r = curr[fin].min(axis=1)
+            else:
+                kfin = bl[fin] - i + n  # k = lb - la + n, in [0, W) as |Δ|<=n
+                vals = curr[fin, np.clip(kfin, 0, W - 1)]
+                r = np.where((kfin >= 0) & (kfin < W), vals, _INF)
             res[fin] = np.minimum(r, n + 1).astype(np.int32)
             done[fin] = True
         if done.all():
@@ -445,3 +488,20 @@ def make_distance_udf(max_distance: int, variant: str = STANDARD,
         return pd.Series(batch_distance(a, b, n, var, sp))
 
     return _dist
+
+
+@lru_cache(maxsize=None)
+def make_prefix_distance_udf(max_distance: int, variant: str = STANDARD,
+                             subst_pairs: frozenset | None = None):
+    """pandas UDF (query, term) -> prefix distance (autocomplete mode)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = int(max_distance)
+    var = str(variant)
+    sp = subst_pairs
+
+    @pandas_udf("int")
+    def _pdist(q: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(batch_prefix_distance(q, t, n, var, sp))
+
+    return _pdist

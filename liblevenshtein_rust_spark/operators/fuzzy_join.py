@@ -41,6 +41,7 @@ from liblevenshtein_rust_spark.functions.distance import (
     STANDARD,
     TRANSPOSITION,
     make_distance_udf,
+    make_prefix_distance_udf,
 )
 
 #: strings at or below this length use deletion-neighborhood blocking
@@ -231,6 +232,64 @@ def fuzzy_self_join(
         F.col("_idb").alias("id_b"), F.col("_tb").alias("term_b"),
         "distance",
     )
+
+
+def fuzzy_prefix_join(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    *,
+    n: int,
+    variant: str = STANDARD,
+    q_id: str = "q_id",
+    q_text: str = "q_text",
+    d_id: str = "term_id",
+    d_text: str = "term",
+) -> DataFrame:
+    """Autocomplete join: terms whose PREFIX is within n of the query
+    (the reference's .prefix() query mode, ordered_query.rs:320).
+
+    Blocking: the distinct query lengths L are collected (a tiny int agg —
+    the adaptive-stats pattern), the dictionary side emits deletion keys of
+    its prefixes at every length in ∪[L-n, L+n], the query side emits its
+    own deletion neighborhood; exact-complete because a matching prefix p
+    has |len(p) - len(q)| <= n and shares a deletion variant with q.
+
+    Output: q_id, q_text, term_id, term, distance (prefix distance).
+    """
+    depth = effective_depth(n, variant)
+    qlens = [r[0] for r in
+             queries.select(F.length(F.col(q_text)).alias("l")).distinct().collect()]
+    plens = sorted({pl for lq in qlens for pl in range(max(lq - n, 0), lq + n + 1)})
+    if not plens:
+        plens = [0]
+    lens_sql = ", ".join(str(x) for x in plens)
+
+    pref = dictionary.select(
+        F.col(d_id).alias("_bid"),
+        F.explode(F.expr(
+            f"filter(array({lens_sql}), l -> l <= length({d_text}))")).alias("_pl"),
+        F.col(d_text).alias("_t"),
+    ).select("_bid", F.expr("substring(_t, 1, _pl)").alias("_p"))
+    dk = pref.select(
+        "_bid", F.explode(hash_keys(deletion_keys("_p", depth))).alias("_bkey")
+    ).dropDuplicates(["_bid", "_bkey"])
+    qk = _explode_keys(queries, q_id, q_text, deletion_keys(q_text, depth))
+    pairs = _candidates_from_keys(qk, dk, self_join=False)
+
+    lt = queries.select(F.col(q_id).alias("_ida"), F.col(q_text).alias("_ta")) \
+        .dropDuplicates(["_ida"])
+    rt = dictionary.select(F.col(d_id).alias("_idb"), F.col(d_text).alias("_tb")) \
+        .dropDuplicates(["_idb"])
+    with_text = pairs.join(lt, "_ida").join(rt, "_idb").where(
+        F.length("_ta") - F.length("_tb") <= F.lit(n))
+    # truncate the term JVM-side so Arrow never ships more than |q|+n chars
+    with_text = with_text.withColumn(
+        "_tb_cut", F.expr(f"substring(_tb, 1, length(_ta) + {n})"))
+    pdist = make_prefix_distance_udf(n, variant)
+    scored = with_text.withColumn("distance", pdist(F.col("_ta"), F.col("_tb_cut")))
+    return scored.where(F.col("distance") <= n).select(
+        F.col("_ida").alias(q_id), F.col("_ta").alias(q_text),
+        F.col("_idb").alias(d_id), F.col("_tb").alias(d_text), "distance")
 
 
 def fuzzy_top_k(matches: DataFrame, k: int, query_col: str = "q_id",

@@ -1,0 +1,88 @@
+"""Corpus sources & recall validation.
+
+Ports the reference's corpus tooling semantics
+(/root/reference/src/corpus/mod.rs:32-57, parser.rs):
+
+- plain-text word lists (one term per line — big.txt-style dictionaries;
+  the CLI's ``--dict /usr/share/dict/words`` source, README.md:485)
+- Mitton ``.dat`` error corpora: ``$correct`` header lines followed by
+  ``misspelling freq`` lines (Birkbeck/Holbrook/Aspell/Wikipedia format)
+- recall@d validation (tests/corpus_validation.rs:38-86 ValidationStats):
+  fraction of misspellings whose correct word is found within distance d.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark.functions.canonicalize import term_id
+from liblevenshtein_rust_spark.operators.fuzzy_join import fuzzy_join
+
+
+def load_wordlist(spark: SparkSession, path: str) -> DataFrame:
+    """Newline-delimited term file -> dictionary DataFrame
+    (term_id, term). Distributed read (spark.read.text)."""
+    df = spark.read.text(path).select(F.trim(F.col("value")).alias("term"))
+    df = df.where(F.length("term") > 0).distinct()
+    return df.select(term_id("term").alias("term_id"), "term")
+
+
+def parse_mitton(lines: list[str]) -> list[tuple[str, str, int]]:
+    """Mitton .dat format -> (correct, misspelling, frequency) rows.
+
+    Format (corpus/mod.rs:45-57): lines starting with '$' set the current
+    correct word; following lines are "misspelling [freq]". Stateful
+    line-order parse — corpora are small fixture files, so this runs
+    driver-side; the result becomes a distributed DataFrame.
+    """
+    rows: list[tuple[str, str, int]] = []
+    current = None
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("$"):
+            current = line[1:].strip()
+            continue
+        if current is None:
+            continue
+        parts = line.split()
+        miss = parts[0]
+        freq = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 1
+        rows.append((current, miss, freq))
+    return rows
+
+
+def mitton_corpus_df(spark: SparkSession, lines: list[str]) -> DataFrame:
+    return spark.createDataFrame(
+        parse_mitton(lines), ["correct", "misspelling", "frequency"])
+
+
+def recall_at_d(corpus: DataFrame, dictionary: DataFrame, max_d: int,
+                variant: str = "standard", method: str = "deletion") -> DataFrame:
+    """ValidationStats analog: for each distance d in 0..max_d, the
+    fraction of misspellings whose correct word is returned by a fuzzy
+    query at that threshold. Returns (d, found, total, recall_milli) with
+    integer recall in milli-units (float-free)."""
+    queries = corpus.select(
+        F.col("misspelling").alias("q_id"),
+        F.col("misspelling").alias("q_text"),
+        "correct",
+    ).dropDuplicates(["q_id", "correct"])
+    matches = fuzzy_join(
+        queries.select("q_id", "q_text").dropDuplicates(["q_id"]),
+        dictionary, n=max_d, variant=variant, method=method)
+    hits = queries.join(
+        matches.select(F.col("q_id"), F.col("term"), F.col("distance")),
+        (queries["q_id"] == matches["q_id"]) & (queries["correct"] == matches["term"]),
+        "left",
+    ).select(queries["q_id"], "correct", "distance")
+    total = queries.count()
+    rows = []
+    for d in range(max_d + 1):
+        found = hits.where(F.col("distance") <= d).select("q_id", "correct") \
+            .distinct().count()
+        rows.append((d, found, total, round(1000 * found / max(total, 1))))
+    return corpus.sparkSession.createDataFrame(
+        rows, ["d", "found", "total", "recall_milli"])
