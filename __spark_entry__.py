@@ -27,7 +27,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from liblevenshtein_rust_spark.functions.canonicalize import canon_text
+from liblevenshtein_rust_spark.functions.canonicalize import (
+    PHONETIC_RULES,
+    canon_text,
+    phonetic_canon,
+)
 from liblevenshtein_rust_spark.functions.text import (
     STOPWORDS,
     fingerprint,
@@ -45,9 +49,11 @@ from liblevenshtein_rust_spark.operators.dedup import (
 from liblevenshtein_rust_spark.operators.fuzzy_join import (
     build_dictionary,
     fuzzy_join,
+    fuzzy_prefix_join,
     fuzzy_self_join,
     fuzzy_top_k,
 )
+from liblevenshtein_rust_spark.sources.corpus import mitton_corpus_df, recall_at_d
 from liblevenshtein_rust_spark.operators.similarity import cosine_top_k, cosine_top_k_lsh
 from liblevenshtein_rust_spark.sources.transcripts import derive_transcripts
 
@@ -62,6 +68,10 @@ DICT27 = [
     "quest", "foo", "food", "fool", "football", "bar", "bark", "barn", "barley",
 ]
 QUERY_TERMS = ["test", "tset", "quuo", "fool", "barnn", "xyz", "abcf", "bst", "fod"]
+PREFIX_QUERIES = ["tes", "bst", "fo", "qes", "xyz"]
+SUBSTR_QUERIES = ["scan", "row", "zzzzz"]
+RECALL_CORPUS = [("table", "tble"), ("stream", "stram"), ("join", "jion"),
+                 ("scan", "sacn"), ("window", "windw"), ("qqqq", "qqqx")]
 WORD_QUERIES = ["tble", "stram", "jion", "filtr", "zzzzq"]
 ANTI_QUERIES = ["tble", "xyzqq", "stram", "qqqqq"]
 CONTAINS_QUERIES = ["the", "scan", "zzz", "notaword", "join"]
@@ -301,6 +311,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_near_dup"] = lambda s, d: simhash_pairs(
         _docs(s, d), max_hamming=3)              # rows-only
 
+    # --- prefix / substring / phonetic / stats / recall ---
+    q["prefix_query_d1"] = lambda s, d: (
+        fuzzy_prefix_join(_queries_df(s, PREFIX_QUERIES), _dict27_df(s), n=1)
+        .select(F.col("q_text").alias("query"), "term", "distance")
+    )
+    q["substring_match"] = lambda s, d: (
+        _queries_df(s, SUBSTR_QUERIES).crossJoin(_docs(s, d))
+        .withColumn("pos", F.expr("locate(q_text, lower(text))"))
+        .where(F.col("pos") > 0)
+        .select(F.col("q_text").alias("query"), "doc_id", "pos")
+    )
+    q["phonetic_keys"] = lambda s, d: (
+        _term_df(s, d).select("term", phonetic_canon("term").alias("pkey"))
+    )
+    q["dict_stats"] = lambda s, d: _term_df(s, d).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.length("term")).alias("n_chars_total"),
+        F.max(F.length("term")).cast("int").alias("max_len"),
+        F.sum(F.when(F.col("freq") > 1, 1).otherwise(0)).alias("dup_terms"),
+    )
+    _mitton_lines = [ln for c, m in RECALL_CORPUS for ln in (f"${c}", f"{m} 1")]
+    q["recall_validation"] = lambda s, d: recall_at_d(
+        mitton_corpus_df(s, _mitton_lines),
+        _word_freq(s, d).select(F.col("w").alias("term_id"), F.col("w").alias("term")),
+        2)
+
     # --- embeddings: similarity search ---
     q["embedding_topk"] = lambda s, d: (
         cosine_top_k(
@@ -512,6 +548,54 @@ def oracle_sql() -> dict[str, str]:
         "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id "
         "WHERE len(list_intersect(a.w, b.w)) * 1000 >= 900 * len(list_distinct(list_concat(a.w, b.w)))"
     )
+    _sql_prefix_queries = ", ".join(f"('{q}')" for q in PREFIX_QUERIES)
+    o["prefix_query_d1"] = (
+        f"WITH d(term) AS (VALUES {_SQL_DICT27}), q(query) AS (VALUES {_sql_prefix_queries}), "
+        "js AS (SELECT unnest(range(0, 9)) AS j), "
+        "pd AS (SELECT query, term, CAST(min(levenshtein(query, substr(term, 1, j))) AS INT) AS distance "
+        "       FROM q, d, js WHERE j <= length(term) GROUP BY query, term) "
+        "SELECT query, term, distance FROM pd WHERE distance <= 1"
+    )
+
+    _sql_substr = ", ".join(f"('{q}')" for q in SUBSTR_QUERIES)
+    o["substring_match"] = (
+        f"WITH q(query) AS (VALUES {_sql_substr}) "
+        "SELECT query, doc_id, CAST(strpos(lower(text), query) AS INT) AS pos "
+        "FROM q, documents WHERE strpos(lower(text), query) > 0"
+    )
+
+    _ph = "canon_text"
+    for pat, rep in PHONETIC_RULES:
+        _ph = f"regexp_replace({_ph}, '{pat}', '{rep}', 'g')"
+    o["phonetic_keys"] = (
+        f"WITH {_TRANSCRIPTS_CTE.strip()}, "
+        "terms AS (SELECT DISTINCT canon_text FROM ct) "
+        f"SELECT canon_text AS term, {_ph} AS pkey FROM terms"
+    )
+
+    o["dict_stats"] = (
+        f"WITH {_TRANSCRIPTS_CTE.strip()}, "
+        "td AS (SELECT canon_text AS term, count(*) AS freq FROM ct GROUP BY 1) "
+        "SELECT count(*) AS n_terms, CAST(sum(length(term)) AS BIGINT) AS n_chars_total, "
+        "CAST(max(length(term)) AS INT) AS max_len, "
+        "CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_terms FROM td"
+    )
+
+    _sql_recall = ", ".join(f"('{c}', '{m}')" for c, m in RECALL_CORPUS)
+    o["recall_validation"] = (
+        f"WITH {_TRANSCRIPTS_CTE.strip()}, {_WORDS_CTE.strip()}, "
+        f"corpus(correct, misspelling) AS (VALUES {_sql_recall}), "
+        "ds AS (SELECT unnest(range(0, 3)) AS d), "
+        "hits AS (SELECT correct, misspelling, levenshtein(misspelling, correct) AS dist "
+        "         FROM corpus WHERE correct IN (SELECT w FROM wf)) "
+        "SELECT CAST(d AS BIGINT) AS d, "
+        "CAST((SELECT count(*) FROM hits WHERE dist <= d) AS BIGINT) AS found, "
+        "CAST((SELECT count(*) FROM corpus) AS BIGINT) AS total, "
+        "CAST(round(1000.0 * (SELECT count(*) FROM hits WHERE dist <= d) / "
+        "(SELECT count(*) FROM corpus)) AS BIGINT) AS recall_milli "
+        "FROM ds"
+    )
+
     o["embedding_topk"] = (
         "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20), "
         "c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id >= 20), "

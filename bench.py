@@ -180,9 +180,10 @@ parallelism levels (sandbox stand-in for N vs 4N executors).
 
 Identical pair counts at both levels confirm determinism across
 parallelism. Reference single-node baseline for context: ~60-75k d<=2
-fuzzy queries/sec/core (BASELINE.md); our vectorized kernel scores
->1M candidate pairs/sec/core (`python bench.py --kernel`), so the
-distributed job is shuffle-bound, not CPU-bound, as designed.
+fuzzy queries/sec/core (BASELINE.md); our vectorized kernel verifies
+~0.7M candidate pairs/sec/core steady-state on ~50-char near-dup turns
+(`python bench.py --kernel`), so the distributed job is shuffle-bound,
+not CPU-bound, as designed.
 """)
 
 

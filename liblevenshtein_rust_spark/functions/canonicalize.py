@@ -27,6 +27,8 @@ def canon_text(col: Column | str) -> Column:
 # (/root/reference/src/phonetic/rules.rs): each entry (pattern, replacement)
 # is applied in order with regexp_replace. Terminating by construction
 # (each rule is applied once, no rule re-introduces its own pattern).
+# Patterns are RE2-safe (no lookahead/backrefs) so the same chain runs
+# verbatim in engines with RE2 regexes (e.g. the DuckDB oracle).
 PHONETIC_RULES: list[tuple[str, str]] = [
     (r"ph", "f"),        # orthographic ph -> f
     (r"ght", "t"),       # light -> lit
@@ -36,10 +38,11 @@ PHONETIC_RULES: list[tuple[str, str]] = [
     (r"ck", "k"),        # back -> bak
     (r"qu", "kw"),       # quick -> kwick
     (r"x", "ks"),        # box -> boks
-    (r"c(?=[eiy])", "s"),  # cell -> sell
+    (r"ce", "se"),       # cell -> sell (soft c, spelled out per vowel:
+    (r"ci", "si"),       #   RE2 has no lookahead)
+    (r"cy", "sy"),
     (r"c", "k"),         # cat -> kat
-    (r"(.)\1+", "$1"),   # collapse doubled letters
-]
+] + [(f"{c}+", c) for c in "abcdefghijklmnopqrstuvwxyz"]  # collapse runs
 
 
 def phonetic_canon(col: Column | str) -> Column:
