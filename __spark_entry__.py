@@ -337,6 +337,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _word_freq(s, d).select(F.col("w").alias("term_id"), F.col("w").alias("term")),
         2)
 
+    # --- multimodal plumbing (decode stubbed; rows-only) ---
+    def _media_features(s, d):
+        from liblevenshtein_rust_spark.operators.multimodal import (
+            featurize_media, synth_media)
+        m = synth_media(s, _docs(s, d))
+        return featurize_media(m).select("media_id", "kind", "n_bytes",
+                                         "width", "height")
+    q["media_features"] = _media_features
+
     # --- embeddings: similarity search ---
     q["embedding_topk"] = lambda s, d: (
         cosine_top_k(

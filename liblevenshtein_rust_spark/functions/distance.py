@@ -175,6 +175,9 @@ def _encode_unique(strings) -> tuple[np.ndarray, np.ndarray]:
         codes_flat = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
         mask = np.arange(lmax, dtype=np.int32)[None, :] < lens[:, None]
         out[:, :lmax][mask] = codes_flat
+        if codes_flat.size and int(codes_flat.max()) < 256:
+            # Latin-1-only batch: 4x less memory traffic in the DP passes
+            out = out.astype(np.uint8)
     return out, lens
 
 
@@ -288,6 +291,9 @@ def batch_prefix_distance(
     pk = _pair_keys(subst_pairs)
     ac, al = _encode_batch(q)
     bc, bl = _encode_batch(t)
+    if ac.dtype != bc.dtype:
+        ac = ac.astype(np.uint32)
+        bc = bc.astype(np.uint32)
     # a prefix longer than |q|+n can never be within n
     bl = np.minimum(bl, al + n)
     out[al == 0] = 0                       # empty query matches empty prefix
@@ -329,6 +335,9 @@ def batch_distance(
     pk = _pair_keys(subst_pairs)
     ac, al, ar = _encode_batch(a, with_reversed=True)
     bc, bl, br = _encode_batch(b, with_reversed=True)
+    if ac.dtype != bc.dtype:  # one side non-ASCII: promote both
+        ac, ar = ac.astype(np.uint32), ar.astype(np.uint32)
+        bc, br = bc.astype(np.uint32), br.astype(np.uint32)
     ac, al, bc, bl = _strip_common_affixes(ac, al, ar, bc, bl, br, pk)
 
     # identical after stripping

@@ -113,6 +113,25 @@ def test_ordered_topk_semantics(spark, dict_df):
         ("test", 0), ("best", 1), ("nest", 1)]
 
 
+def test_spark_builtin_levenshtein_matches_reference_oracle(spark):
+    """The JVM fast path (_score_pairs uses levenshtein(a,b,threshold) for
+    the standard variant) must agree with the reference DP semantics,
+    including Unicode codepoint counting and threshold -1 behavior."""
+    import pyspark.sql.functions as F
+
+    cases = [(a, b) for a in ["kitten", "café", "日本", "", "ab", "tests",
+                              "the quick brown fox", "algorithm"]
+             for b in ["sitting", "cafe", "本日", "¡", "ba", "test",
+                       "the quikc brown fox", "altruistic"]]
+    df = spark.createDataFrame(cases, ["a", "b"])
+    rows = df.select("a", "b", F.expr("levenshtein(a, b)").alias("d"),
+                     F.expr("levenshtein(a, b, 2)").alias("d2")).collect()
+    for r in rows:
+        exp = distance_py(r.a, r.b, STANDARD)
+        assert r.d == exp, (r.a, r.b)
+        assert r.d2 == (exp if exp <= 2 else -1), (r.a, r.b)
+
+
 def test_distance_zero_exact_match_only(spark, dict_df):
     q = spark.createDataFrame([("test", "test")], ["q_id", "q_text"])
     got = fuzzy_join(q, dict_df, n=0, method="deletion").collect()

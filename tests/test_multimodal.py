@@ -1,0 +1,62 @@
+"""Multimodal plumbing: schema, batching, determinism, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark.operators.multimodal import (
+    FEATURE_DIM,
+    FEATURES_SCHEMA,
+    featurize_media,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    return synth_media(spark, docs).cache()
+
+
+def test_media_schema_and_rows(spark, media):
+    assert media.count() == 50
+    assert dict(media.dtypes)["payload"] == "binary"
+
+
+def test_featurize_shapes_and_determinism(spark, media):
+    f1 = featurize_media(media)
+    assert f1.schema == FEATURES_SCHEMA
+    rows = {r.media_id: r for r in f1.collect()}
+    assert len(rows) == 50
+    for r in rows.values():
+        assert len(r.features) == FEATURE_DIM
+        assert r.n_bytes > 0 and r.width >= 16 and r.height >= 16
+    # determinism across a different partitioning
+    f2 = featurize_media(media.repartition(7))
+    rows2 = {r.media_id: r for r in f2.collect()}
+    for k in rows:
+        assert rows[k].features == rows2[k].features
+
+
+def test_real_decoder_is_gated(spark, media):
+    with pytest.raises(Exception) as ei:
+        featurize_media(media, decoder="pillow").count()
+    assert "NotImplementedError" in str(ei.value) or "decoder" in str(ei.value)
+
+
+def test_features_feed_ann(spark, media):
+    """Features slot straight into the similarity operators."""
+    from liblevenshtein_rust_spark.operators.similarity import cosine_top_k
+
+    feats = featurize_media(media).select(
+        "media_id", F.col("features").alias("vec"))
+    q = feats.limit(3).select(F.col("media_id").alias("q_id"),
+                              F.col("vec").alias("q_vec"))
+    c = feats.select(F.col("media_id").alias("c_id"), F.col("vec").alias("c_vec"))
+    top = cosine_top_k(q, c, 3)
+    got = {(r.q_id, r.rank, r.c_id) for r in top.collect()}
+    # self is always rank 1 with sim 1.0
+    for r in top.where(F.col("rank") == 1).collect():
+        assert r.q_id == r.c_id
+    assert len(got) == 9
