@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from liblevenshtein_rust_spark.functions.canonicalize import canon_text
 
@@ -110,27 +111,62 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
 def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", group_col: str | None = None,
                         min_ratio_milli: int = 600) -> DataFrame:
-    """Exact token-set Jaccard join (no LSH — the small-dim baseline):
-    pairs within the same ``group_col`` (e.g. language) whose distinct-word
-    Jaccard >= min_ratio_milli/1000. Integer-only output."""
+    """Exact token-set Jaccard join (no LSH — the exactness baseline):
+    pairs (within ``group_col`` if given) whose distinct-word Jaccard
+    >= min_ratio_milli/1000. Integer-only output (id_a, id_b, n_common,
+    n_union).
+
+    Physical shape: explode distinct words, equi-join on (group, word),
+    count common words per pair with a hash aggregate, then derive
+    |union| = |A| + |B| - |common|. Everything stays in whole-stage
+    codegen; no per-pair array intersections. Only pairs sharing >= 1
+    word are ever materialized (the set-similarity-join standard trick),
+    so disjoint documents cost nothing."""
     toks = docs.select(
-        F.col(id_col), *( [F.col(group_col)] if group_col else [] ),
-        F.array_distinct(F.split(canon_text(text_col), " ")).alias("_t"),
+        F.col(id_col).alias("_id"),
+        (F.col(group_col) if group_col else F.lit(0)).alias("_g"),
+        F.explode(F.array_distinct(F.split(canon_text(text_col), " "))).alias("_w"),
     )
-    a = toks.select(F.col(id_col).alias("id_a"),
-                    *( [F.col(group_col).alias("_g")] if group_col else [] ),
-                    F.col("_t").alias("_ta"))
-    b = toks.select(F.col(id_col).alias("id_b"),
-                    *( [F.col(group_col).alias("_g")] if group_col else [] ),
-                    F.col("_t").alias("_tb"))
-    on = ["_g"] if group_col else []
-    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+
+    # PPJoin-style prefix filtering (Bayardo/Chaudhuri — public algorithm):
+    # if jaccard(A,B) >= t, the two sets must share a word among each
+    # set's floor((1-t)|A|)+1 RAREST words (global rarity order). Candidate
+    # pairs are generated only from those prefixes, then verified exactly.
+    wfreq = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_wf"))
+    ranked = toks.join(wfreq, "_w").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.col("_wf").asc(), F.col("_w").asc())),
+    ).join(sizes, "_id")
+    prefix = ranked.where(
+        F.col("_rn") <= F.floor((1000 - min_ratio_milli) * F.col("_sz") / 1000) + 1
+    ).select("_id", "_g", "_w")
+    pa = prefix.select(F.col("_id").alias("id_a"), "_g", "_w")
+    pb = prefix.select(F.col("_id").alias("id_b"), "_g", "_w")
+    cand = (
+        pa.join(pb, ["_g", "_w"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verification: count shared words for candidate pairs only
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("_w"))
+    tb = toks.select(F.col("_id").alias("id_b"), F.col("_w"))
+    common = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "_w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"))
     return (
-        joined.where(F.col("id_a") < F.col("id_b"))
+        common.join(sa, "id_a").join(sb, "id_b")
         .select(
             "id_a", "id_b",
-            F.size(F.array_intersect("_ta", "_tb")).alias("n_common"),
-            F.size(F.array_union("_ta", "_tb")).alias("n_union"),
+            F.col("n_common").cast("int").alias("n_common"),
+            (F.col("_sa") + F.col("_sb") - F.col("n_common")).cast("int").alias("n_union"),
         )
         .where(F.col("n_common") * 1000 >= min_ratio_milli * F.col("n_union"))
     )

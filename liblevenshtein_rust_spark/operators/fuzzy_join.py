@@ -193,6 +193,7 @@ def fuzzy_join(
     d_id: str = "term_id",
     d_text: str = "term",
     substitutions=None,
+    persist: bool = False,
 ) -> DataFrame:
     """Similarity join: all (query, term) pairs with distance(q, t) <= n.
 
@@ -200,7 +201,14 @@ def fuzzy_join(
     matching pair, exact and complete (the blocked join is recall-lossless;
     the banded DP is the exact distance). ``substitutions`` is an optional
     SubstitutionSet of zero-cost character pairs (Restricted policy).
+
+    ``persist`` caches both inputs (MEMORY_AND_DISK): each side is read
+    twice (key explode + text attach), and without a cache or an upstream
+    checkpoint Spark would re-run their whole lineage per read.
     """
+    if persist:
+        queries = queries.persist()
+        dictionary = dictionary.persist()
     method = _resolve_method((queries, q_text), (dictionary, d_text), method=method)
     qk = _keys_for(queries, q_id, q_text, n, variant, method, role="probe",
                    subst=substitutions)
@@ -225,15 +233,29 @@ def fuzzy_self_join(
     id_col: str = "term_id",
     text_col: str = "term",
     substitutions=None,
+    salt_threshold: int | None = None,
+    salt_groups: int = 8,
+    persist: bool = False,
 ) -> DataFrame:
     """All unordered distinct-term pairs with distance <= n (id_a < id_b).
 
-    Output: id_a, term_a, id_b, term_b, distance.
+    Output: id_a, term_a, id_b, term_b, distance. ``salt_threshold``
+    routes blocking keys with more members than the threshold through the
+    deterministic triangular salting path (operators/skew.py) instead of
+    a single reducer key. ``persist`` caches the terms input, which this
+    operator reads four times (two key sides + two text attaches).
     """
+    if persist:
+        terms = terms.persist()
     method = _resolve_method((terms, text_col), method=method)
     keys = _keys_for(terms, id_col, text_col, n, variant, method, role="both",
                      subst=substitutions)
-    pairs = _candidates_from_keys(keys, keys, self_join=True)
+    if salt_threshold is not None:
+        from liblevenshtein_rust_spark.operators.skew import salted_self_candidates
+        pairs = salted_self_candidates(keys, hot_threshold=salt_threshold,
+                                       n_groups=salt_groups)
+    else:
+        pairs = _candidates_from_keys(keys, keys, self_join=True)
     scored = _score_pairs(pairs, terms, terms, id_col, text_col, id_col, text_col,
                           n, variant, subst=substitutions)
     return scored.select(
