@@ -337,6 +337,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _word_freq(s, d).select(F.col("w").alias("term_id"), F.col("w").alias("term")),
         2)
 
+    # --- restricted zero-cost substitutions (rows-only: no SQL analog) ---
+    def _subst_fuzzy(s, d):
+        from liblevenshtein_rust_spark.functions.substitutions import SubstitutionSet
+        dict_df = s.createDataFrame(
+            [("phone",), ("cat",), ("zone",), ("seat",), ("kite",)], ["term"]
+        ).withColumn("term_id", F.col("term"))
+        qs = s.createDataFrame([("fone", "fone"), ("kat", "kat"), ("cite", "cite")],
+                               ["q_id", "q_text"])
+        return (
+            fuzzy_join(qs, dict_df, n=1, method="deletion",
+                       substitutions=SubstitutionSet.phonetic_basic())
+            .select(F.col("q_text").alias("query"), "term", "distance")
+        )
+    q["subst_fuzzy_phonetic"] = _subst_fuzzy
+
     # --- multimodal plumbing (decode stubbed; rows-only) ---
     def _media_features(s, d):
         from liblevenshtein_rust_spark.operators.multimodal import (

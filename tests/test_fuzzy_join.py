@@ -91,6 +91,32 @@ def test_fuzzy_self_join_equals_bruteforce(spark, dict_df):
     assert got == exp
 
 
+def test_hybrid_method_mixed_lengths(spark):
+    """Hybrid blocking (deletion keys for short strings, segments for
+    long) must be exact across the SHORT_MAX boundary."""
+    texts = (
+        DICT27
+        + ["the quick brown fox jumps over the lazy dog",
+           "the quick brown fox jumps over the lazy dig",
+           "a medium sized string here x",   # just above SHORT_MAX
+           "a medium sized string here",     # crosses the boundary
+           "twentyfourcharacters okx",       # == SHORT_MAX
+           "twentyfourcharacters ok"]
+    )
+    d = build_dictionary(spark.createDataFrame([(t,) for t in texts], ["text"]))
+    got = {
+        (min(r.term_a, r.term_b), max(r.term_a, r.term_b), r.distance)
+        for r in fuzzy_self_join(d, n=2, method="hybrid").collect()
+    }
+    exp = set()
+    for i, a in enumerate(texts):
+        for b in texts[i + 1:]:
+            dd = distance_py(a, b, STANDARD)
+            if dd <= 2 and a != b:
+                exp.add((min(a, b), max(a, b), dd))
+    assert got == exp
+
+
 def test_large_distance_regression(spark):
     """query_ordered("quuo", 99) over 5 terms returns all 5
     (/root/reference/tests/query_comprehensive_test.rs:100-121)."""
