@@ -58,7 +58,7 @@ def _hyperplane_sig(vec: str, n_planes: int, seed: int) -> F.Column:
 def cosine_top_k_lsh(queries: DataFrame, corpus: DataFrame, k: int,
                      *, q_id: str = "q_id", q_vec: str = "q_vec",
                      c_id: str = "c_id", c_vec: str = "c_vec",
-                     n_planes: int = 16, n_bands: int = 4,
+                     n_planes: int = 12, n_bands: int = 6,
                      seed: int = 42) -> DataFrame:
     """Approximate top-k: bucket by random-hyperplane band signatures,
     score only colliding pairs. Recall < 1 by design; the scale path for

@@ -1,0 +1,62 @@
+"""Embedding similarity: exact top-k semantics + LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark.operators.similarity import (
+    cosine_top_k,
+    cosine_top_k_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def qc(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return q.cache(), c.cache()
+
+
+def test_exact_topk_matches_numpy(spark, qc):
+    import numpy as np
+
+    q, c = qc
+    qv = {r.q_id: np.array(r.q_vec, dtype=np.float64) for r in q.collect()}
+    cv = {r.c_id: np.array(r.c_vec, dtype=np.float64) for r in c.collect()}
+    got = {}
+    for r in cosine_top_k(q, c, 3).collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.c_id, r.sim))
+    for qid, rows in got.items():
+        sims = sorted(
+            ((float(qv[qid] @ v / (np.linalg.norm(qv[qid]) * np.linalg.norm(v))), -cid)
+             for cid, v in cv.items()),
+            reverse=True)
+        exp = [(-negcid) for _, negcid in sims[:3]]
+        rows.sort()
+        assert [cid for _, cid, _ in rows] == exp
+        for (rank, cid, sim), (esim, necid) in zip(rows, sims[:3]):
+            assert math.isclose(sim, esim, rel_tol=1e-9)
+
+
+def test_lsh_recall_at_defaults(spark, qc):
+    q, c = qc
+    exact = {(r.q_id, r.c_id) for r in cosine_top_k(q, c, 5).collect()}
+    lsh = {(r.q_id, r.c_id) for r in cosine_top_k_lsh(q, c, 5).collect()}
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_lsh_sims_are_exact_for_returned_pairs(spark, qc):
+    """The approximation is only in candidate coverage — similarities of
+    returned pairs must equal the exact computation."""
+    q, c = qc
+    exact = {(r.q_id, r.c_id): r.sim for r in cosine_top_k(q, c, 50).collect()}
+    for r in cosine_top_k_lsh(q, c, 5).collect():
+        if (r.q_id, r.c_id) in exact:
+            assert math.isclose(r.sim, exact[(r.q_id, r.c_id)], rel_tol=1e-12)
