@@ -525,7 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "wa AS (SELECT unnest(string_split(canon_text, ' ')) AS w FROM ct WHERE role = 'assistant'), "
         "u AS (SELECT w, count(*) AS freq FROM wu GROUP BY w "
         "      UNION ALL SELECT w, count(*) FROM wa GROUP BY w) "
-        "SELECT w AS term, sum(freq) AS freq FROM u GROUP BY w"
+        "SELECT w AS term, CAST(sum(freq) AS BIGINT) AS freq FROM u GROUP BY w"
     )
 
     o["term_clusters_d1"] = (

@@ -45,13 +45,32 @@ _INF = np.int32(2**30)
 # Pure-Python oracles
 # ---------------------------------------------------------------------------
 
+def normalize_pairs(subst_pairs) -> frozenset | None:
+    """Normalize any accepted substitution spec to codepoint pairs.
+
+    Accepts a SubstitutionSet, an iterable of char pairs, or an iterable
+    of codepoint pairs — mixing conventions used to silently disable the
+    zero-cost substitutions (frozenset membership never matched); now every
+    entry point converges on codepoints and raises on garbage."""
+    if subst_pairs is None:
+        return None
+    if hasattr(subst_pairs, "codepoint_pairs"):  # SubstitutionSet
+        subst_pairs = subst_pairs.codepoint_pairs()
+    out = set()
+    for a, b in subst_pairs:
+        ca = ord(a) if isinstance(a, str) else int(a)
+        cb = ord(b) if isinstance(b, str) else int(b)
+        out.add((ca, cb))
+    return frozenset(out) or None
+
+
 def _mk_eq(subst_pairs=None):
-    """Equality predicate extended with zero-cost substitution pairs
-    (the reference's Restricted policy, substitution_policy.rs:128)."""
-    if not subst_pairs:
+    """Equality predicate (over chars) extended with zero-cost substitution
+    pairs (the reference's Restricted policy, substitution_policy.rs:128)."""
+    ps = normalize_pairs(subst_pairs)
+    if not ps:
         return lambda x, y: x == y
-    ps = frozenset(subst_pairs)
-    return lambda x, y: x == y or (x, y) in ps or (y, x) in ps
+    return lambda x, y: x == y or (ord(x), ord(y)) in ps or (ord(y), ord(x)) in ps
 
 
 def levenshtein_py(a: str, b: str, subst_pairs=None) -> int:
@@ -201,8 +220,9 @@ def _encode_batch(texts: pd.Series, with_reversed: bool = False):
 
 
 def _pair_keys(subst_pairs) -> np.ndarray | None:
-    """frozenset of (cp_a, cp_b) -> sorted uint64 key array (both
+    """substitution spec (any convention) -> sorted uint64 key array (both
     directions), for vectorized membership tests."""
+    subst_pairs = normalize_pairs(subst_pairs)
     if not subst_pairs:
         return None
     ks = set()

@@ -172,17 +172,15 @@ def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     )
 
 
-def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 6) -> DataFrame:
-    """SimHash near-dup: 64-bit signature from word hashes; candidate
-    blocking on 4 x 16-bit sub-bands (pigeonhole: hamming <= 3 guarantees
-    one equal band; wider thresholds trade recall, logged by caller);
-    verified with exact popcount of xor. Output (id_a, id_b, hamming)."""
-    # bit b of signature = sign of the per-bit vote:
-    # vote[b] = sum over words of (bit b of xxhash64(word) ? +1 : -1).
-    # Explode words, hash once, derive 64 vote columns as plain integer
-    # expressions, one hash-aggregate — all whole-stage codegen (see
-    # minhash_signatures for why lambdas are avoided).
+def simhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash signature per doc: (id_col, sig).
+
+    Bit b of the signature = sign of the per-bit vote:
+    vote[b] = sum over words of (bit b of xxhash64(word) ? +1 : -1).
+    Explode words, hash once, derive 64 vote columns as plain integer
+    expressions, one hash-aggregate — all whole-stage codegen (see
+    minhash_signatures for why lambdas are avoided)."""
     wh = (
         docs.select(F.col(id_col), F.explode(F.split(canon_text(text_col), " ")).alias("_w"))
         .select(F.col(id_col), F.xxhash64("_w").alias("_h"))
@@ -197,11 +195,42 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         term = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63
                       else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         sig_expr = term if sig_expr is None else sig_expr + term
-    sigs = votes.select(F.col(id_col), sig_expr.alias("sig"))
-    bands = F.expr(
-        "transform(sequence(0, 3), b -> "
-        "concat(b, ':', cast((sig >> (b * 16)) & 65535 as string)))"
-    )
+    return votes.select(F.col(id_col), sig_expr.alias("sig"))
+
+
+def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3,
+                  n_bands: int | None = None) -> DataFrame:
+    """SimHash near-dup: 64-bit signature from word hashes; candidate
+    blocking on equal-width signature sub-bands; verified with exact
+    popcount of xor. Output (id_a, id_b, hamming).
+
+    The band count is DERIVED from ``max_hamming`` (bands = max_hamming+1),
+    so the pigeonhole guarantee — any pair within max_hamming shares at
+    least one untouched band — always holds. Passing an explicit
+    ``n_bands`` <= max_hamming opts into recall loss and emits a warning
+    (fewer bands = fewer/larger blocks = cheaper join, lossy)."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    elif n_bands <= max_hamming:
+        import warnings
+        warnings.warn(
+            f"simhash_pairs: n_bands={n_bands} <= max_hamming={max_hamming} "
+            "breaks the pigeonhole guarantee — pairs at hamming in "
+            f"[{n_bands}, {max_hamming}] may be missed (recall < 1)",
+            stacklevel=2)
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    band_exprs = []
+    for b in range(n_bands):
+        lo = b * 64 // n_bands
+        width = (b + 1) * 64 // n_bands - lo
+        # shiftright() not `>>`: inside array(...) the parser reads `>` as
+        # part of an array<...> type and errors
+        piece = "sig" if width >= 64 else f"shiftright(sig, {lo}) & {(1 << width) - 1}"
+        band_exprs.append(f"concat('{b}:', cast({piece} as string))")
+    bands = F.expr(f"array({', '.join(band_exprs)})")
     keyed = sigs.select(F.col(id_col).alias("_bid"), F.col("sig"),
                         F.explode(bands).alias("_bkey"))
     l = keyed.select(F.col("_bid").alias("id_a"), F.col("sig").alias("_sa"), "_bkey").alias("lk")

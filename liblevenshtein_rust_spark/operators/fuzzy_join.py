@@ -171,14 +171,13 @@ def _keys_for(df: DataFrame, id_col: str, text_col: str, n: int, variant: str,
     raise ValueError(f"unknown blocking method {method!r}")
 
 
-def _resolve_method(*dfs_and_cols: tuple[DataFrame, str], method: str) -> str:
-    if method != "auto":
-        return method
-    max_len = 0
-    for df, col in dfs_and_cols:
-        v = df.select(F.max(F.length(F.col(col)))).first()[0]
-        max_len = max(max_len, v or 0)
-    return "deletion" if max_len <= SHORT_MAX else "segment"
+def _resolve_method(method: str) -> str:
+    """``auto`` resolves statically to ``hybrid``: hybrid routes each ROW by
+    its own length (deletion keys for short strings, segments for long), so
+    no dataset statistic — and therefore no eager pre-join scan of the
+    input, which at 100 TB would be a full pass per operator call — is
+    needed to pick a strategy."""
+    return "hybrid" if method == "auto" else method
 
 
 def fuzzy_join(
@@ -209,7 +208,7 @@ def fuzzy_join(
     if persist:
         queries = queries.persist()
         dictionary = dictionary.persist()
-    method = _resolve_method((queries, q_text), (dictionary, d_text), method=method)
+    method = _resolve_method(method)
     qk = _keys_for(queries, q_id, q_text, n, variant, method, role="probe",
                    subst=substitutions)
     dk = _keys_for(dictionary, d_id, d_text, n, variant, method, role="index",
@@ -247,7 +246,7 @@ def fuzzy_self_join(
     """
     if persist:
         terms = terms.persist()
-    method = _resolve_method((terms, text_col), method=method)
+    method = _resolve_method(method)
     keys = _keys_for(terms, id_col, text_col, n, variant, method, role="both",
                      subst=substitutions)
     if salt_threshold is not None:
@@ -288,6 +287,9 @@ def fuzzy_prefix_join(
     Output: q_id, q_text, term_id, term, distance (prefix distance).
     """
     depth = effective_depth(n, variant)
+    # adaptive-stats collect: cardinality is bounded by the number of
+    # distinct QUERY lengths (<= max query string length, a few dozen ints),
+    # never by row count — safe at any scale
     qlens = [r[0] for r in
              queries.select(F.length(F.col(q_text)).alias("l")).distinct().collect()]
     plens = sorted({pl for lq in qlens for pl in range(max(lq - n, 0), lq + n + 1)})

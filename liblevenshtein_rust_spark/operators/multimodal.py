@@ -72,35 +72,45 @@ def _decode_batch(payloads: pd.Series, kinds: pd.Series,
             "environment; use decoder='fake' (deterministic hash features) "
             "or plug a codec into _decode_batch")
     B = len(payloads)
+    blobs = [bytes(p) if p is not None else b"" for p in payloads]
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=B)
+    widths = (16 + lens % 64).astype(np.int32)
+    heights = (16 + (lens // 64) % 64).astype(np.int32)
+    # deterministic pseudo-features: per-row chunked byte sums, computed as
+    # ONE reduceat over the padded concatenation of the whole batch — the
+    # vectorized-across-the-batch shape a real decoder should copy (no
+    # per-row Python work beyond the unavoidable bytes() materialization)
     feats = np.zeros((B, FEATURE_DIM), dtype=np.float32)
-    widths = np.zeros(B, dtype=np.int32)
-    heights = np.zeros(B, dtype=np.int32)
-    for i, (p, k) in enumerate(zip(payloads, kinds)):
-        b = bytes(p) if p is not None else b""
-        # deterministic pseudo-features: chunked byte sums (stable across
-        # runs/partitions — no RNG, no codec)
-        arr = np.frombuffer(b, dtype=np.uint8)
-        pad = (-len(arr)) % FEATURE_DIM
-        if pad:
-            arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
-        feats[i] = arr.reshape(FEATURE_DIM, -1).sum(axis=1).astype(np.float32) \
-            if arr.size else np.zeros(FEATURE_DIM, np.float32)
-        widths[i] = 16 + (len(b) % 64)
-        heights[i] = 16 + ((len(b) // 64) % 64)
+    padded_lens = np.maximum((lens + FEATURE_DIM - 1) // FEATURE_DIM, 1) * FEATURE_DIM
+    total = int(padded_lens.sum())
+    buf = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(padded_lens)[:-1]])
+    for i, b in enumerate(blobs):  # memcpy per row; O(bytes), not O(rows*dim)
+        if b:
+            buf[starts[i]:starts[i] + lens[i]] = np.frombuffer(b, dtype=np.uint8)
+    # chunk j of row i = contiguous block of padded_lens[i]/FEATURE_DIM bytes
+    chunk = (padded_lens // FEATURE_DIM).astype(np.int64)
+    offsets = (starts[:, None] + np.arange(FEATURE_DIM)[None, :] * chunk[:, None]).ravel()
+    sums = np.add.reduceat(buf.astype(np.int64), offsets)
+    feats[:] = sums.reshape(B, FEATURE_DIM).astype(np.float32)
+    feats[lens == 0] = 0.0
     return widths, heights, feats
 
 
 def featurize_media(media: DataFrame, *, decoder: str = "fake",
-                    target_partition_bytes: int = 64 * 1024 * 1024) -> DataFrame:
+                    n_partitions: int | None = None) -> DataFrame:
     """Decode + feature-extract media rows via mapInPandas.
 
-    Output schema: FEATURES_SCHEMA. Partitions are re-sized by payload
-    bytes before the Python stage so each Arrow batch is bounded.
+    Output schema: FEATURES_SCHEMA. Partition byte-budgets come from the
+    SOURCE scan, not from an eager stat job: for file-backed media Spark
+    already bounds bytes/partition via spark.sql.files.maxPartitionBytes,
+    and Arrow batch size is bounded by arrow.maxRecordsPerBatch — so no
+    driver-side full scan of payload sizes is needed (the previous
+    ``sum(octet_length)`` probe was a full pass over the table before the
+    job even started — wrong shape at 100 TB). Pass ``n_partitions`` to
+    override explicitly (e.g. after a filter that skewed partition sizes).
     """
-    spark = media.sparkSession
-    total = media.select(F.sum(F.octet_length("payload"))).first()[0] or 0
-    n_parts = max(1, int(total // target_partition_bytes) + 1)
-    sized = media.repartition(n_parts, "media_id")
+    sized = media.repartition(n_partitions, "media_id") if n_partitions else media
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

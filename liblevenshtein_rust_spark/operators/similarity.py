@@ -1,13 +1,18 @@
 """Embedding similarity search (approximate nearest neighbor).
 
 Brute-force cosine top-k as the exactness baseline, plus an LSH-bucketed
-variant (random-hyperplane signs) as the scale path. Dot products and
-norms are computed with JVM higher-order functions (zip_with/aggregate)
-— no Python, no UDFs; Catalyst keeps the whole plan in codegen.
+variant (random-hyperplane signs) as the scale path. Pair scoring uses
+JVM higher-order functions (zip_with/aggregate); the LSH signature stage
+is a single Arrow-batched pandas UDF doing one numpy matmul per batch
+(all planes at once) — the per-plane interpreted-lambda form was
+O(planes x dim) row-at-a-time and is exactly the trap documented in
+operators/dedup.py.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -40,19 +45,39 @@ def cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
-def _hyperplane_sig(vec: str, n_planes: int, seed: int) -> F.Column:
-    """Deterministic random-hyperplane sign signature (int64 bitmask).
+def make_signature_udf(n_planes: int, seed: int):
+    """Pandas UDF: embedding -> deterministic random-hyperplane sign
+    signature (int64 bitmask).
 
-    Plane p's weight for dimension d is a hash-derived pseudo-random
-    value in [-1, 1): xxhash64(p, d, seed) scaled. Reproducible across
-    executors and runs (no RNG state)."""
-    w = (f"(cast(xxhash64(p, i, {seed}) % 1000000 as double) / 1000000.0)")
-    dot = (f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), "
-           f"(x, i) -> cast(x as double) * {w}), 0D, (s, v) -> s + v)")
-    return F.expr(
-        f"aggregate(transform(sequence(0, {n_planes - 1}), p -> "
-        f"if({dot} > 0, shiftleft(1L, p), 0L)), 0L, (s, v) -> s + v)"
-    )
+    One numpy matmul per Arrow batch computes ALL plane dot products at
+    once ([B, dim] @ [dim, planes]) — the previous SQL higher-order-function
+    version re-evaluated an interpreted O(dim) aggregate per plane per row
+    (O(planes x dim) row-at-a-time work; see dedup.minhash_signatures for
+    why lambda expressions are the wrong shape). The plane matrix is a
+    seeded PCG64 draw — bit-reproducible across executors, runs, and batch
+    boundaries (regenerated per (seed, dim), cached per process)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= n_planes <= 63:
+        raise ValueError("n_planes must be in [1, 63] (int64 sign bitmask)")
+    planes_cache: dict[int, np.ndarray] = {}
+
+    @pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = V.shape[1]
+        P = planes_cache.get(dim)
+        if P is None:
+            rng = np.random.default_rng(seed)
+            P = rng.standard_normal((dim, n_planes))
+            planes_cache[dim] = P
+        bits = (V @ P) > 0.0                       # [B, n_planes]
+        weights = np.left_shift(np.int64(1), np.arange(n_planes, dtype=np.int64))
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return _sig
 
 
 def cosine_top_k_lsh(queries: DataFrame, corpus: DataFrame, k: int,
@@ -65,8 +90,10 @@ def cosine_top_k_lsh(queries: DataFrame, corpus: DataFrame, k: int,
     corpora where brute force is infeasible (candidate count is
     |collisions|, not |Q| x |C|). Output schema matches cosine_top_k."""
     rows_per = n_planes // n_bands
+    sig_udf = make_signature_udf(n_planes, seed)
+
     def keyed(df, idc, vecc, alias):
-        sig = _hyperplane_sig(vecc, n_planes, seed)
+        sig = sig_udf(F.col(vecc))
         bands = F.expr(
             f"transform(sequence(0, {n_bands - 1}), b -> "
             f"xxhash64(b, (_sig >> (b * {rows_per})) & {(1 << rows_per) - 1}))")

@@ -44,7 +44,7 @@ class PipelineConfig:
     run_id: str = "run0"
     n: int = 2
     variant: str = STANDARD
-    method: str = "auto"
+    method: str = "hybrid"   # needs no dataset statistic ("auto" = alias)
     phonetic: bool = False
     table_format: str = "parquet"   # "iceberg" on clusters with a catalog
     shuffle_partitions: int | None = None
@@ -61,25 +61,37 @@ class _Runner:
     def _path(self, stage: str) -> str:
         return os.path.join(self.cfg.checkpoint_dir, self.cfg.run_id, stage)
 
+    def _table(self, stage: str) -> str:
+        return f"{self.cfg.extra.get('db', 'lls')}.{self.cfg.run_id}_{stage}"
+
     def _exists(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+        # probe through the catalog / Hadoop FS, not the driver's local
+        # filesystem — resume must work with HDFS/S3 checkpoint dirs and
+        # with Iceberg tables (which never write a parquet _SUCCESS marker)
+        if self.cfg.table_format == "iceberg":
+            return self.spark.catalog.tableExists(self._table(stage))
+        from liblevenshtein_rust_spark.session import fs_exists
+        return fs_exists(self.spark, os.path.join(self._path(stage), "_SUCCESS"))
+
+    def _read(self, stage: str) -> DataFrame:
+        if self.cfg.table_format == "iceberg":
+            return self.spark.read.table(self._table(stage))
+        return self.spark.read.parquet(self._path(stage))
 
     def stage(self, name: str, fn) -> DataFrame:
         """Idempotent stage: read checkpoint if present, else compute+write."""
         path = self._path(name)
         t0 = time.time()
         if self._exists(name):
-            df = self.spark.read.parquet(path)
+            df = self._read(name)
             self.info[name] = {"resumed": True, "seconds": time.time() - t0}
             return df
         df = fn()
         if self.cfg.table_format == "iceberg":
-            tbl = f"{self.cfg.extra.get('db', 'lls')}.{self.cfg.run_id}_{name}"
-            df.writeTo(tbl).createOrReplace()
-            out = self.spark.read.table(tbl)
+            df.writeTo(self._table(name)).createOrReplace()
         else:
             df.write.mode("overwrite").parquet(path)
-            out = self.spark.read.parquet(path)
+        out = self._read(name)
         # lineage: per-partition row counts of the materialized stage
         lineage = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))

@@ -29,6 +29,16 @@ _BASE_CONF = {
 }
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API, so checkpoint
+    resume works for HDFS/S3 paths exactly like local ones (a driver-local
+    ``os.path.exists`` would silently force recompute on a cluster)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def get_spark(
     app_name: str = "liblevenshtein-rust-spark",
     master: str | None = None,

@@ -28,6 +28,35 @@ def load_wordlist(spark: SparkSession, path: str) -> DataFrame:
     return df.select(term_id("term").alias("term_id"), "term")
 
 
+def load_bigtxt(spark: SparkSession, path: str) -> DataFrame:
+    """big.txt-style word-frequency corpus -> (term, freq).
+
+    The reference's ``BigTxtCorpus::load``
+    (/root/reference/src/corpus/parser.rs:37): one token per line,
+    trimmed + lowercased, frequencies preserved (duplicate lines count).
+    Distributed read + hash aggregate; ``total_tokens`` is
+    ``sum(freq)`` and ``unique_words`` is ``count(*)`` downstream.
+    """
+    return (
+        spark.read.text(path)
+        .select(F.lower(F.trim(F.col("value"))).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Running text -> (term, freq) word-frequency dictionary — the
+    big.txt extraction convention (Norvig's ``words()``: all ``[a-z]+``
+    runs of the lowercased text). The running-text generalization of
+    ``load_bigtxt`` for corpora that are not pre-tokenized one-per-line."""
+    return (
+        df.select(F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def parse_mitton(lines: list[str]) -> list[tuple[str, str, int]]:
     """Mitton .dat format -> (correct, misspelling, frequency) rows.
 
@@ -78,11 +107,24 @@ def recall_at_d(corpus: DataFrame, dictionary: DataFrame, max_d: int,
         (queries["q_id"] == matches["q_id"]) & (queries["correct"] == matches["term"]),
         "left",
     ).select(queries["q_id"], "correct", "distance")
-    total = queries.count()
-    rows = []
-    for d in range(max_d + 1):
-        found = hits.where(F.col("distance") <= d).select("q_id", "correct") \
-            .distinct().count()
-        rows.append((d, found, total, round(1000 * found / max(total, 1))))
-    return corpus.sparkSession.createDataFrame(
-        rows, ["d", "found", "total", "recall_milli"])
+    # single aggregation over an exploded threshold grid — ONE Spark job
+    # for all max_d+1 thresholds (each (misspelling, correct) pair emits a
+    # row per d; found counts pairs whose match distance is <= d)
+    grid = hits.select(
+        F.explode(F.sequence(F.lit(0), F.lit(int(max_d)))).alias("d"),
+        "distance",
+    )
+    return (
+        grid.groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("distance") <= F.col("d"), 1).otherwise(0)).alias("found"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(
+            F.col("d").cast("long").alias("d"),
+            F.col("found").cast("long").alias("found"),
+            "total",
+            F.round(F.lit(1000.0) * F.col("found") / F.greatest(F.col("total"), F.lit(1)))
+            .cast("long").alias("recall_milli"),
+        )
+    )

@@ -34,7 +34,8 @@ from liblevenshtein_rust_spark.operators.fuzzy_join import (
 
 
 def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    from liblevenshtein_rust_spark.session import fs_exists
+    if fs_exists(spark, os.path.join(path, "_SUCCESS")):
         return spark.read.parquet(path)
     return None
 
@@ -92,9 +93,17 @@ def incremental_upsert(batch_df: DataFrame, state_dir: str, *,
     clusters = connected_components(
         all_pairs, all_terms, src="id_a", dst="id_b", node_col="term_id")
 
-    all_terms.write.mode("overwrite").parquet(terms_path)
+    # Commit order matters for replay safety: terms are written LAST. If the
+    # job dies after pairs/clusters but before terms, the replayed batch
+    # still sees the OLD terms state, re-derives the same fresh terms and
+    # pairs, and the dropDuplicates unions make the rewrite idempotent.
+    # (Writing terms first would make the replay's anti-join find no fresh
+    # terms and silently lose that batch's pairs.) All three DataFrames are
+    # derived from localCheckpoint()ed inputs, so the later writes cannot
+    # observe a half-overwritten earlier directory.
     all_pairs.write.mode("overwrite").parquet(pairs_path)
     clusters.write.mode("overwrite").parquet(clusters_path)
+    all_terms.write.mode("overwrite").parquet(terms_path)
 
 
 def run_incremental_stream(spark: SparkSession, input_path: str,

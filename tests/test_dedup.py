@@ -1,0 +1,100 @@
+"""Dedup operators: driver-visible correctness evidence.
+
+minhash/simhash blocking is hash-based, so the driver's DuckDB oracle
+cannot replay it — these tests are the correctness gate instead:
+
+- simhash: EXACT completeness vs brute-force signature hamming (the
+  pigeonhole band derivation guarantees recall 1.0 within max_hamming).
+- minhash: precision 1.0 (verification is exact shingle-Jaccard) and
+  recall vs the brute-force shingle-Jaccard truth set.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def _shingle_sets(docs, k=3):
+    out = {}
+    for r in docs.select("doc_id", F.lower(F.trim(F.regexp_replace(
+            "text", r"\s+", " "))).alias("t")).collect():
+        ws = r.t.split(" ")
+        n = max(len(ws) - k + 1, 1)
+        out[r.doc_id] = {" ".join(ws[i:i + k]) for i in range(n)}
+    return out
+
+
+def test_simhash_complete_within_max_hamming(spark, docs):
+    """Every pair within max_hamming of signature hamming distance must be
+    returned — banded blocking with bands = max_hamming + 1 is lossless by
+    pigeonhole, and verification is an exact popcount."""
+    max_h = 3
+    sigs = {r.doc_id: r.sig for r in simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= max_h:
+                truth.add((a, b))
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=max_h).collect()}
+    assert got == truth
+    assert len(truth) > 0, "fixture produced no near-dup pairs — test is vacuous"
+
+
+def test_simhash_narrow_bands_warns(spark, docs):
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        simhash_pairs(docs, max_hamming=3, n_bands=2)
+        assert any("pigeonhole" in str(x.message) for x in w)
+
+
+def test_minhash_precision_and_recall_vs_exact_jaccard(spark, docs):
+    """Returned pairs must all satisfy the exact shingle-Jaccard threshold
+    (precision 1.0 — the verify stage recomputes exact intersections), and
+    banded-LSH recall vs the brute-force truth set must be high (expected
+    collision prob at s=0.8 with 32 hashes / 8 bands is ~0.985)."""
+    thr = 0.8
+    sets = _shingle_sets(docs)
+    ids = sorted(sets)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            # mirror the operator's integer comparison: common*1000 >= thr*1000*union
+            if union and inter * 1000 >= int(thr * 1000) * union:
+                truth.add((a, b))
+    got = {(r.id_a, r.id_b)
+           for r in minhash_lsh_pairs(docs, jaccard_threshold=thr).collect()}
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    assert len(truth) > 0, "fixture produced no near-dup pairs — test is vacuous"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth))
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = exact_dedup(docs).collect()
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in groups) == n_docs
+    by_fp = {}
+    for r in docs.select("doc_id", F.md5(F.encode(F.lower(F.trim(
+            F.regexp_replace("text", r"\s+", " "))), "UTF-8")).alias("fp")).collect():
+        by_fp.setdefault(r.fp, []).append(r.doc_id)
+    for r in groups:
+        assert r.rep_id == min(by_fp[r.fp])
+        assert r.n_docs == len(by_fp[r.fp])

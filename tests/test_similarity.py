@@ -49,7 +49,20 @@ def test_lsh_recall_at_defaults(spark, qc):
     exact = {(r.q_id, r.c_id) for r in cosine_top_k(q, c, 5).collect()}
     lsh = {(r.q_id, r.c_id) for r in cosine_top_k_lsh(q, c, 5).collect()}
     recall = len(exact & lsh) / len(exact)
-    assert recall >= 0.8, recall
+    # measured 0.95 at sf0.01 with the vectorized gaussian-plane signatures
+    assert recall >= 0.9, recall
+
+
+def test_signature_udf_deterministic(spark, qc):
+    """Seeded plane draw must be bit-stable across invocations/batches."""
+    from liblevenshtein_rust_spark.operators.similarity import make_signature_udf
+
+    q, _ = qc
+    sig = make_signature_udf(12, 42)
+    a = {r.q_id: r.s for r in q.select("q_id", sig("q_vec").alias("s")).collect()}
+    b = {r.q_id: r.s for r in
+         q.repartition(5).select("q_id", sig("q_vec").alias("s")).collect()}
+    assert a == b and len(set(a.values())) > 1
 
 
 def test_lsh_sims_are_exact_for_returned_pairs(spark, qc):
