@@ -70,6 +70,15 @@ DICT27 = [
 QUERY_TERMS = ["test", "tset", "quuo", "fool", "barnn", "xyz", "abcf", "bst", "fod"]
 PREFIX_QUERIES = ["tes", "bst", "fo", "qes", "xyz"]
 SUBSTR_QUERIES = ["scan", "row", "zzzzz"]
+# approximate-phrase workload: d<=1 typos of document vocabulary
+SUBSTR_FUZZY_QUERIES = ["fast tble", "vectr", "custommer", "zzqqx"]
+SUBSTR_POS_QUERIES = ["scan", "window", "qzz"]
+# contextual completion fixtures: 7-scope tree, queries pinned to scopes,
+# one draft buffer per scope (engine.rs drafts)
+CTX_TREE = [(0, None), (1, 0), (2, 1), (3, 1), (4, 0), (5, 4), (6, 5)]
+CTX_QUERIES = [("q1", "tble", 2), ("q2", "tble", 6), ("q3", "scn", 0),
+               ("q4", "windw", 3)]
+CTX_DRAFTS = [(1, "tblx"), (5, "tble"), (0, "wind")]
 RECALL_CORPUS = [("table", "tble"), ("stream", "stram"), ("join", "jion"),
                  ("scan", "sacn"), ("window", "windw"), ("qqqq", "qqqx")]
 WORD_QUERIES = ["tble", "stram", "jion", "filtr", "zzzzq"]
@@ -322,6 +331,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .where(F.col("pos") > 0)
         .select(F.col("q_text").alias("query"), "doc_id", "pos")
     )
+
+    # fuzzy substring join: the reference's substring query mode
+    # (QueryIterator::with_substring_mode over SuffixAutomaton) — min edit
+    # distance between the query and ANY substring of the doc
+    def _substring_fuzzy(s, d):
+        from liblevenshtein_rust_spark.operators.substring import fuzzy_substring_join
+        docs = _docs(s, d).select("doc_id", F.lower("text").alias("text"))
+        return (
+            fuzzy_substring_join(_queries_df(s, SUBSTR_FUZZY_QUERIES), docs, n=1)
+            .select(F.col("q_text").alias("query"), "doc_id", "distance", "pos")
+        )
+    q["substring_fuzzy_d1"] = _substring_fuzzy
+
+    # exact all-occurrence positions (n=0 degenerates to a distributed
+    # substring inverted index — every hit, not just locate()'s first)
+    def _substring_positions(s, d):
+        from liblevenshtein_rust_spark.operators.substring import fuzzy_substring_join
+        docs = _docs(s, d).select("doc_id", F.lower("text").alias("text"))
+        return (
+            fuzzy_substring_join(_queries_df(s, SUBSTR_POS_QUERIES), docs, n=0,
+                                 all_positions=True)
+            .select(F.col("q_text").alias("query"), "doc_id", "pos", "distance")
+        )
+    q["substring_all_positions"] = _substring_positions
+
+    # big.txt word-frequency extraction over running text
+    def _bigtxt(s, d):
+        from liblevenshtein_rust_spark.sources.corpus import word_frequencies
+        return word_frequencies(_docs(s, d))
+    q["bigtxt_wordfreq"] = _bigtxt
+
+    # contextual scope-visible completion (engine.complete analog):
+    # finalized terms = corpus words assigned to scopes by deterministic
+    # character arithmetic (identical in the SQL twin), plus draft buffers
+    def _scoped_complete(s, d):
+        from liblevenshtein_rust_spark.operators.contextual import scoped_complete
+        tree = s.createDataFrame(CTX_TREE, "context_id int, parent_id int")
+        words = _word_freq(s, d).select("w").distinct()
+        terms = (
+            words.select(F.col("w").alias("term"), F.expr(
+                "cast((length(w) * 7 + ascii(substring(w, 1, 1))) % 7 as int)"
+            ).alias("context_id"))
+            .unionByName(words.select(F.col("w").alias("term"), F.expr(
+                "cast((ascii(substring(w, length(w), 1)) * 3) % 7 as int)"
+            ).alias("context_id")))
+            .distinct()
+        )
+        qdf = s.createDataFrame(CTX_QUERIES, "q_id string, q_text string, context_id int")
+        ddf = s.createDataFrame(CTX_DRAFTS, "context_id int, draft string")
+        out = scoped_complete(qdf, terms, ddf, tree, n=1)
+        return out.select(
+            F.col("q_id").alias("query"), "term", "distance", "is_draft",
+            F.array_join(F.col("contexts").cast("array<string>"), ",").alias("contexts"))
+    q["scoped_complete"] = _scoped_complete
+
+    # weighted OperationSet scoring (rows-only: float-cost DP has no SQL
+    # twin): leet/OCR-confusable chars substitute at 0.25, max cost 1.0
+    def _weighted_fuzzy(s, d):
+        from liblevenshtein_rust_spark.functions.weighted import (
+            WeightedOps, make_weighted_distance_udf)
+        ops = WeightedOps(restricted=((frozenset(
+            {("0", "o"), ("1", "l"), ("3", "e"), ("5", "s")}), 0.25),))
+        udf = make_weighted_distance_udf(1.0, ops)
+        qs = _queries_df(s, ["tabl3", "j0in", "5can", "merg", "qzzzz"])
+        words = _word_freq(s, d).select(F.col("w").alias("term")).distinct()
+        cand = (F.broadcast(qs).crossJoin(words)
+                .where(F.abs(F.length("q_text") - F.length("term")) <= 1))
+        return (
+            cand.withColumn("cost", udf(F.col("q_text"), F.col("term")))
+            .where(F.col("cost") <= 1.0)
+            .select(F.col("q_text").alias("query"), "term",
+                    F.round(F.col("cost") * 1000).cast("int").alias("cost_milli"))
+        )
+    q["weighted_fuzzy"] = _weighted_fuzzy
     q["phonetic_keys"] = lambda s, d: (
         _term_df(s, d).select("term", phonetic_canon("term").alias("pkey"))
     )
@@ -586,6 +669,79 @@ def oracle_sql() -> dict[str, str]:
         f"WITH q(query) AS (VALUES {_sql_substr}) "
         "SELECT query, doc_id, CAST(strpos(lower(text), query) AS INT) AS pos "
         "FROM q, documents WHERE strpos(lower(text), query) > 0"
+    )
+
+    _sql_substr_fuzzy = ", ".join(f"('{q}')" for q in SUBSTR_FUZZY_QUERIES)
+    # windowed min-distance grid: dp(p) = min over widths w in [m-1, m+1]
+    # of levenshtein(q, substr(text, p, w)); a (q, doc) row carries the
+    # global min and its leftmost position (packed struct-min arithmetic)
+    o["substring_fuzzy_d1"] = (
+        f"WITH q(query) AS (VALUES {_sql_substr_fuzzy}), "
+        "ps AS (SELECT unnest(range(1, 1001)) AS p), "
+        "ws AS (SELECT unnest(range(-1, 2)) AS dw), "
+        "dp AS (SELECT query, doc_id, p, "
+        "       min(levenshtein(query, substr(lower(text), p, length(query) + dw))) AS d "
+        "       FROM q, documents, ps, ws "
+        "       WHERE p <= length(text) - length(query) + 2 "
+        "         AND length(query) + dw >= 1 "
+        "       GROUP BY query, doc_id, p), "
+        "hits AS (SELECT query, doc_id, p, d FROM dp WHERE d <= 1) "
+        "SELECT query, doc_id, "
+        "CAST(min(d * 100000 + p) // 100000 AS INT) AS distance, "
+        "CAST(min(d * 100000 + p) % 100000 AS INT) AS pos "
+        "FROM hits GROUP BY query, doc_id"
+    )
+
+    _sql_substr_pos = ", ".join(f"('{q}')" for q in SUBSTR_POS_QUERIES)
+    o["substring_all_positions"] = (
+        f"WITH q(query) AS (VALUES {_sql_substr_pos}), "
+        "ps AS (SELECT unnest(range(1, 1001)) AS p) "
+        "SELECT query, doc_id, CAST(p AS INT) AS pos, CAST(0 AS INT) AS distance "
+        "FROM q, documents, ps "
+        "WHERE p + length(query) - 1 <= length(text) "
+        "  AND substr(lower(text), p, length(query)) = query"
+    )
+
+    o["bigtxt_wordfreq"] = (
+        "SELECT term, count(*) AS freq FROM ("
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term "
+        "FROM documents) GROUP BY term"
+    )
+
+    _sql_tree = ", ".join(
+        f"({i}, {p if p is not None else 'CAST(NULL AS INT)'})" for i, p in CTX_TREE)
+    _sql_ctx_q = ", ".join(f"('{i}', '{t}', {c})" for i, t, c in CTX_QUERIES)
+    _sql_drafts = ", ".join(f"({c}, '{t}')" for c, t in CTX_DRAFTS)
+    o["scoped_complete"] = (
+        f"WITH RECURSIVE {_TRANSCRIPTS_CTE.strip()}, {_WORDS_CTE.strip()}, "
+        f"tree(id, parent) AS (VALUES {_sql_tree}), "
+        "vis(ctx, v) AS (SELECT id, id FROM tree UNION ALL "
+        "  SELECT vis.ctx, t.parent FROM vis JOIN tree t ON vis.v = t.id "
+        "  WHERE t.parent IS NOT NULL), "
+        "ws AS (SELECT DISTINCT w FROM wf), "
+        "tctx AS (SELECT w, CAST((length(w) * 7 + ascii(substr(w, 1, 1))) % 7 AS INT) AS ctx FROM ws "
+        "  UNION SELECT w, CAST((ascii(substr(w, length(w), 1)) * 3) % 7 AS INT) FROM ws), "
+        f"q(qid, qt, qctx) AS (VALUES {_sql_ctx_q}), "
+        "qvis AS (SELECT qid, qt, v FROM q JOIN vis ON q.qctx = vis.ctx), "
+        "fin AS (SELECT q.qid, t.w AS term, levenshtein(q.qt, t.w) AS d, t.ctx "
+        "  FROM q, tctx t WHERE abs(length(q.qt) - length(t.w)) <= 1 "
+        "  AND levenshtein(q.qt, t.w) <= 1), "
+        "finv AS (SELECT f.qid, f.term, CAST(f.d AS INT) AS distance, FALSE AS is_draft, "
+        "    array_to_string(list_sort(list(DISTINCT f.ctx)), ',') AS contexts "
+        "  FROM fin f JOIN qvis v ON f.qid = v.qid AND f.ctx = v.v "
+        "  GROUP BY f.qid, f.term, f.d), "
+        f"dr(ctx, draft) AS (VALUES {_sql_drafts}), "
+        "drv AS (SELECT v.qid, d.draft AS term, "
+        "    CAST(levenshtein(v.qt, d.draft) AS INT) AS distance, TRUE AS is_draft, "
+        "    array_to_string(list_sort(list(DISTINCT d.ctx)), ',') AS contexts "
+        "  FROM qvis v JOIN dr d ON v.v = d.ctx "
+        "  WHERE levenshtein(v.qt, d.draft) <= 1 "
+        "  GROUP BY v.qid, d.draft, levenshtein(v.qt, d.draft)), "
+        "allr AS (SELECT * FROM finv UNION ALL SELECT * FROM drv), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid, term "
+        "    ORDER BY is_draft DESC, distance ASC) AS rn FROM allr) "
+        "SELECT qid AS query, term, distance, is_draft, contexts "
+        "FROM ranked WHERE rn = 1"
     )
 
     _ph = "canon_text"

@@ -1,0 +1,210 @@
+"""Fuzzy SUBSTRING join: find a query string approximately anywhere
+inside indexed texts.
+
+Re-expresses the reference's substring query mode — a Levenshtein query
+over a SuffixAutomaton dictionary (``QueryIterator::with_substring_mode``,
+/root/reference/src/transducer/query.rs:87-139; distance = the state's
+``min_distance`` rather than suffix-penalizing ``infer_distance``,
+query.rs:146-156; index at
+/root/reference/src/dictionary/suffix_automaton.rs:457) — with windowed
+semantics:
+
+    dist(q, T) = min over start positions p of  dp(p)
+    dp(p)      = min over widths w >= 1 of  d(q, T[p : p+w])
+
+i.e. the minimal edit distance between q and any (non-empty) substring of
+T. Positions are 1-based (SQL substr convention). All-occurrence output
+(every p with dp(p) <= n) exceeds the reference's ``match_positions``,
+which only tracks end-of-string matches (suffix_automaton.rs:758 — "full
+position tracking ... future enhancement").
+
+Scale design (never a cartesian product, never a full-text scan per pair):
+
+1. **Blocking — PassJoin pigeonhole on the query side, substring
+   inverted index on the document side.** Split q into n+1 segments; if
+   dp(p) <= n then the matching window contains >= 1 segment verbatim,
+   displaced at most n from its home offset. Documents emit xxhash64 keys
+   of every substring whose length appears in the query workload's
+   segment-length set (a driver-collected adaptive stat, bounded by the
+   number of distinct query lengths x (n+1) small ints — never row
+   count). Doc-side fan-out is O(|T| x |length set|): the linear-space
+   inverted-index shape, exactly what a distributed suffix automaton
+   degenerates to.
+2. **Candidate anchors -> bounded position probes.** A key match at doc
+   position p_doc for a segment with home offset o yields anchor
+   a = p_doc - o; every true match start lies in [a-n, a+n]
+   (completeness by the displacement bound). Positions are exploded
+   JVM-side, deduped, and only a (m+n)-char window is shipped to Arrow.
+3. **Verify = existing prefix kernel.** dp(p) equals the autocomplete
+   prefix distance of q against the window T[p : p+m+n] (min over window
+   prefixes == min over widths; widths < m-n cannot reach <= n), so the
+   tested banded-DP prefix kernel is reused unchanged.
+
+n=0 degenerates to an exact all-occurrence substring index (one segment =
+the whole query, no position slack) — the distributed ``locate``-all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark.functions.distance import (
+    STANDARD,
+    make_prefix_distance_udf,
+)
+
+
+def _n_segments(n: int, variant: str) -> int:
+    """Segment count guaranteeing a verbatim segment survives n edits.
+
+    Standard: n edits damage <= n segments -> n+1 segments suffice.
+    Transposition / merge-and-split: ONE edit can damage TWO adjacent
+    segments (a swap or merge straddling a boundary), i.e. <= 2n standard
+    edits -> 2n+1 segments (same bound as fuzzy_join._seg_k). Start
+    displacement stays <= n for every variant (only indels move text, and
+    each edit changes length by at most 1)."""
+    return (n if variant == STANDARD else 2 * n) + 1
+
+
+def _segments(m: int, n: int, variant: str = STANDARD) -> list[tuple[int, int]]:
+    """PassJoin even split of a length-m string into (start0, len)
+    segments (same arithmetic as blocking_keys.segment_keys)."""
+    k = _n_segments(n, variant)
+    base, rem = divmod(m, k)
+    out, start = [], 0
+    for i in range(k):
+        ln = base + (1 if i < rem else 0)
+        out.append((start, ln))
+        start += ln
+    return out
+
+
+def fuzzy_substring_join(
+    queries: DataFrame,
+    docs: DataFrame,
+    *,
+    n: int,
+    variant: str = STANDARD,
+    q_id: str = "q_id",
+    q_text: str = "q_text",
+    d_id: str = "doc_id",
+    d_text: str = "text",
+    all_positions: bool = False,
+) -> DataFrame:
+    """All (query, doc) pairs where the query matches a substring of the
+    doc within edit distance ``n``.
+
+    Output columns:
+      all_positions=False: (q_id, q_text, d_id, distance, pos) — minimal
+        distance over every window; pos = leftmost start achieving it.
+      all_positions=True:  (q_id, q_text, d_id, pos, distance) — one row
+        per start position p with dp(p) <= n.
+
+    Exact and complete for every query length: queries shorter than the
+    segment count (n+1 for standard, 2n+1 otherwise) cannot use the
+    blocked path and are routed through a broadcast probe of every
+    position — correct but linear in text length per query, so keep such
+    near-degenerate queries rare in large workloads.
+    """
+    n = int(n)
+    qs = queries.select(F.col(q_id).alias("_qid"), F.col(q_text).alias("_q"))
+    ds = docs.select(F.col(d_id).alias("_did"), F.col(d_text).alias("_t"))
+
+    # adaptive stat: distinct query lengths (bounded by max query length)
+    qlens = sorted(r[0] for r in
+                   qs.select(F.length("_q").alias("l")).distinct().collect())
+    # the blocked path needs every segment non-empty (an "intact" empty
+    # segment proves nothing), i.e. m >= segment count
+    min_long = _n_segments(n, variant)
+    long_lens = [m for m in qlens if m >= min_long]
+    short_lens = [m for m in qlens if m < min_long]
+
+    probes = None
+    if long_lens:
+        # query side: explode the n+1 segments with their home offsets
+        seg_rows = []
+        for m in long_lens:
+            for start0, ln in _segments(m, n, variant):
+                seg_rows.append((m, start0, ln))
+        seg_df = qs.sparkSession.createDataFrame(
+            seg_rows, "_m int, _s0 int, _sl int")
+        qk = (
+            qs.join(F.broadcast(seg_df), F.length("_q") == F.col("_m"))
+            .select("_qid", "_s0",
+                    F.xxhash64(F.expr("substring(_q, _s0 + 1, _sl)")).alias("_bkey"))
+        )
+        # doc side: inverted index of all substrings at the needed lengths
+        seg_lens = sorted({ln for m in long_lens
+                           for _, ln in _segments(m, n, variant)})
+        lens_sql = ", ".join(str(x) for x in seg_lens)
+        dk = ds.select(
+            "_did",
+            F.explode(F.expr(
+                f"flatten(transform(filter(array({lens_sql}), l -> l <= length(_t)), "
+                "l -> transform(sequence(1, length(_t) - l + 1), "
+                "p -> named_struct('p', p, 'k', xxhash64(substring(_t, p, l))))))"
+            )).alias("_e"),
+        ).select("_did", F.col("_e.p").alias("_p"), F.col("_e.k").alias("_bkey"))
+        anchors = (
+            qk.join(dk, "_bkey")
+            .select("_qid", "_did", (F.col("_p") - F.col("_s0")).alias("_a"))
+            .dropDuplicates(["_qid", "_did", "_a"])
+        )
+        # candidate start positions within the displacement bound
+        probes = anchors.select(
+            "_qid", "_did",
+            F.explode(F.sequence(F.col("_a") - n, F.col("_a") + n)).alias("pos"))
+
+    if short_lens:
+        # degenerate short queries: every position of every doc is probed
+        # (broadcast the tiny short-query side; see docstring)
+        shorts = qs.where(F.length("_q") < min_long)
+        sp = (
+            F.broadcast(shorts.select("_qid"))
+            .crossJoin(ds.select("_did", F.length("_t").alias("_lt")))
+            .select("_qid", "_did",
+                    F.explode(F.sequence(F.lit(1), F.greatest("_lt", F.lit(1)))).alias("pos"))
+        )
+        probes = sp if probes is None else probes.unionByName(sp)
+
+    if probes is None:
+        return _empty_result(queries, q_id, q_text, d_id, all_positions)
+
+    probes = probes.dropDuplicates(["_qid", "_did", "pos"])
+    with_text = (
+        probes.join(qs, "_qid").join(ds, "_did")
+        # a window can only reach distance <= n if pos is in range and at
+        # least m-n chars remain
+        .where((F.col("pos") >= 1) &
+               (F.col("pos") <= F.length("_t") - (F.length("_q") - n) + 1))
+        # ship only the (m+n)-char window to the Arrow kernel, never _t
+        .withColumn("_w", F.expr(f"substring(_t, pos, length(_q) + {n})"))
+    )
+    pdist = make_prefix_distance_udf(n, variant)
+    scored = (
+        with_text.withColumn("distance", pdist(F.col("_q"), F.col("_w")))
+        .where(F.col("distance") <= n)
+    )
+    if all_positions:
+        return scored.select(
+            F.col("_qid").alias(q_id), F.col("_q").alias(q_text),
+            F.col("_did").alias(d_id), "pos", "distance")
+    best = (
+        scored.groupBy("_qid", "_did")
+        .agg(F.min(F.struct("distance", "pos")).alias("_b"),
+             F.first("_q").alias("_q"))
+    )
+    return best.select(
+        F.col("_qid").alias(q_id), F.col("_q").alias(q_text),
+        F.col("_did").alias(d_id),
+        F.col("_b.distance").alias("distance"), F.col("_b.pos").alias("pos"))
+
+
+def _empty_result(queries, q_id, q_text, d_id, all_positions):
+    s = queries.sparkSession
+    cols = ([q_id, q_text, d_id, "pos", "distance"] if all_positions
+            else [q_id, q_text, d_id, "distance", "pos"])
+    schema = ", ".join(
+        f"{c} string" if c in (q_id, q_text) else f"{c} int" for c in cols)
+    return s.createDataFrame([], schema)

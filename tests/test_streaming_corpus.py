@@ -99,3 +99,25 @@ def test_load_wordlist(spark, tmp_path):
     p.write_text("alpha\nbeta\n\ngamma\nalpha\n")
     df = load_wordlist(spark, str(p))
     assert {r.term for r in df.collect()} == {"alpha", "beta", "gamma"}
+
+
+def test_load_bigtxt_frequencies(spark, tmp_path):
+    """BigTxtCorpus semantics (corpus/parser.rs:37): one token per line,
+    trim + lowercase, duplicate lines accumulate frequency."""
+    from liblevenshtein_rust_spark.sources.corpus import load_bigtxt
+
+    p = tmp_path / "big.txt"
+    p.write_text("the\nThe \nTHE\nquick\n\n  fox\nquick\n")
+    got = {r.term: r.freq for r in load_bigtxt(spark, str(p)).collect()}
+    assert got == {"the": 3, "quick": 2, "fox": 1}
+    # unique_words / total_tokens derivations
+    assert len(got) == 3 and sum(got.values()) == 6
+
+
+def test_word_frequencies_running_text(spark):
+    from liblevenshtein_rust_spark.sources.corpus import word_frequencies
+
+    df = spark.createDataFrame(
+        [("The fox, the FOX; 42 foxes!",)], ["text"])
+    got = {r.term: r.freq for r in word_frequencies(df).collect()}
+    assert got == {"the": 2, "fox": 2, "foxes": 1}

@@ -1,0 +1,153 @@
+"""Fuzzy substring join: brute-force parity incl. all-occurrence positions.
+
+Semantics under test (operators/substring.py, mirroring the reference's
+substring query mode, /root/reference/src/transducer/query.rs:146-156):
+dp(p) = min over non-empty widths w of d(q, T[p:p+w]); a position row is
+emitted for every p with dp(p) <= n; the aggregate row carries the global
+min and its leftmost position.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from liblevenshtein_rust_spark.functions.distance import levenshtein_py
+from liblevenshtein_rust_spark.operators.substring import fuzzy_substring_join
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a scan of the table shows a fast merge and a slow scan"),
+    (3, "zzzzzz"),
+    (4, "scanscanscan"),
+    (5, "x"),
+    (6, "approximate phrase matching inside transcripts"),
+]
+QUERIES = ["scan", "sacn", "fxo", "lazzy", "phrse matching", "qq", "a", ""]
+
+
+def brute_positions(q: str, t: str, n: int) -> dict[int, int]:
+    """p (1-based) -> dp(p) for every p with dp(p) <= n."""
+    out = {}
+    m = len(q)
+    for p in range(1, len(t) + 1):
+        best = None
+        for w in range(1, min(len(t) - p + 1, m + n) + 1):
+            d = levenshtein_py(q, t[p - 1:p - 1 + w])
+            if best is None or d < best:
+                best = d
+        if best is not None and best <= n:
+            out[p] = best
+    return out
+
+
+def _run(spark, queries, n, all_positions):
+    qdf = spark.createDataFrame([(q, q) for q in queries], ["q_id", "q_text"])
+    ddf = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    return fuzzy_substring_join(qdf, ddf, n=n,
+                                all_positions=all_positions).collect()
+
+
+@pytest.mark.parametrize("n", [0, 1, 2])
+def test_all_positions_match_brute_force(spark, n):
+    queries = [q for q in QUERIES if len(q) > 0]
+    got = {}
+    for r in _run(spark, queries, n, all_positions=True):
+        got.setdefault((r.q_text, r.doc_id), {})[r.pos] = r.distance
+    exp = {}
+    for q in queries:
+        for did, t in DOCS:
+            ps = brute_positions(q, t, n)
+            if ps:
+                exp[(q, did)] = ps
+    assert got == exp
+    assert exp, "vacuous fixture"
+
+
+@pytest.mark.parametrize("n", [0, 1, 2])
+def test_min_distance_and_leftmost_pos(spark, n):
+    queries = [q for q in QUERIES if len(q) > 0]
+    got = {(r.q_text, r.doc_id): (r.distance, r.pos)
+           for r in _run(spark, queries, n, all_positions=False)}
+    exp = {}
+    for q in queries:
+        for did, t in DOCS:
+            ps = brute_positions(q, t, n)
+            if ps:
+                d = min(ps.values())
+                exp[(q, did)] = (d, min(p for p, v in ps.items() if v == d))
+    assert got == exp
+
+
+def test_exact_mode_is_all_occurrence_index(spark):
+    """n=0 returns every occurrence — strictly more than first-match
+    locate(), and more than the reference's end-of-string-only
+    match_positions (suffix_automaton.rs:758)."""
+    rows = _run(spark, ["scan"], 0, all_positions=True)
+    occ = sorted((r.doc_id, r.pos) for r in rows)
+    assert occ == [(2, 3), (2, 51), (4, 1), (4, 5), (4, 9)]
+    assert all(r.distance == 0 for r in rows)
+
+
+def test_short_and_empty_queries_degenerate_path(spark):
+    # len(q) <= n routes through the broadcast probe; every doc matches
+    got = {(r.q_text, r.doc_id): r.distance
+           for r in _run(spark, ["a", "qq"], 2, all_positions=False)}
+    for did, t in DOCS:
+        assert got[("a", did)] == min(brute_positions("a", t, 2).values())
+        assert got[("qq", did)] == min(brute_positions("qq", t, 2).values())
+
+
+def test_transposition_straddling_swap_not_missed(spark):
+    """A swap straddling the segment boundary damages BOTH of a 2-way
+    split's segments — the variant-aware segment count (2n+1) must keep
+    this pair. q='abcd' vs window 'acbd': OSA distance 1, and neither
+    half 'ab' nor 'cd' appears verbatim in the doc."""
+    qdf = spark.createDataFrame([("q1", "abcd")], ["q_id", "q_text"])
+    ddf = spark.createDataFrame([(1, "zzacbdzz")], ["doc_id", "text"])
+    got = fuzzy_substring_join(qdf, ddf, n=1, variant="transposition",
+                               all_positions=True).collect()
+    assert {(r.pos, r.distance) for r in got} == {(3, 1)}
+
+
+def test_brute_force_parity_random_osa(spark):
+    """Randomized cross-check of the transposition variant against the
+    pure-Python OSA oracle (seeded — deterministic)."""
+    import random
+
+    from liblevenshtein_rust_spark.functions.distance import transposition_py
+
+    rng = random.Random(7)
+    docs = [(i, "".join(rng.choice("abc") for _ in range(rng.randint(5, 30))))
+            for i in range(30)]
+    queries = ["".join(rng.choice("abc") for _ in range(rng.randint(3, 8)))
+               for _ in range(8)]
+    qdf = spark.createDataFrame([(q, q) for q in set(queries)], ["q_id", "q_text"])
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    n = 1
+    got = {}
+    for r in fuzzy_substring_join(qdf, ddf, n=n, variant="transposition",
+                                  all_positions=True).collect():
+        got.setdefault((r.q_text, r.doc_id), {})[r.pos] = r.distance
+    exp = {}
+    for q in set(queries):
+        for did, t in docs:
+            ps = {}
+            for p in range(1, len(t) + 1):
+                ds = [transposition_py(q, t[p - 1:p - 1 + w])
+                      for w in range(1, min(len(t) - p + 1, len(q) + n) + 1)]
+                if ds and min(ds) <= n:
+                    ps[p] = min(ds)
+            if ps:
+                exp[(q, did)] = ps
+    assert got == exp
+    assert exp
+
+
+def test_transposition_variant(spark):
+    qdf = spark.createDataFrame([("q1", "brwon fox")], ["q_id", "q_text"])
+    ddf = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    std = fuzzy_substring_join(qdf, ddf, n=1).collect()
+    osa = fuzzy_substring_join(qdf, ddf, n=1, variant="transposition").collect()
+    # "brwon" needs one adjacent swap: distance 1 under OSA, 2 under standard
+    assert not [r for r in std if r.doc_id == 1]
+    assert [(r.doc_id, r.distance) for r in osa if r.doc_id == 1] == [(1, 1)]
