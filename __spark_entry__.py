@@ -408,6 +408,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["phonetic_keys"] = lambda s, d: (
         _term_df(s, d).select("term", phonetic_canon("term").alias("pkey"))
     )
+
+    # full 13-rule Zompist chain over corpus words (term-level)
+    def _zompist(s, d):
+        from liblevenshtein_rust_spark.functions.canonicalize import zompist_canon
+        return (_word_freq(s, d).select(F.col("w").alias("term"))
+                .distinct().select("term", zompist_canon("term").alias("zkey")))
+    q["zompist_keys"] = _zompist
     q["dict_stats"] = lambda s, d: _term_df(s, d).agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.sum(F.length("term")).alias("n_chars_total"),
@@ -435,13 +442,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["subst_fuzzy_phonetic"] = _subst_fuzzy
 
-    # --- multimodal plumbing (decode stubbed; rows-only) ---
+    # --- multimodal decode/featurize (rows-only) ---
+    # image/audio payloads are REAL format bytes (BMP / PCM WAV) decoded
+    # by header+payload parsing; video exercises the fake-decoder path
+    # (no library-free video container — that codec seam stays honest)
     def _media_features(s, d):
         from liblevenshtein_rust_spark.operators.multimodal import (
             featurize_media, synth_media)
-        m = synth_media(s, _docs(s, d))
-        return featurize_media(m).select("media_id", "kind", "n_bytes",
-                                         "width", "height")
+        m = synth_media(s, _docs(s, d), real_payloads=True)
+        decoded = featurize_media(m.where(F.col("kind") != "video"),
+                                  decoder="auto")
+        opaque = featurize_media(m.where(F.col("kind") == "video"),
+                                 decoder="fake")
+        return decoded.unionByName(opaque).select(
+            "media_id", "kind", "n_bytes", "width", "height")
     q["media_features"] = _media_features
 
     # --- embeddings: similarity search ---
@@ -751,6 +765,15 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_TRANSCRIPTS_CTE.strip()}, "
         "terms AS (SELECT DISTINCT canon_text FROM ct) "
         f"SELECT canon_text AS term, {_ph} AS pkey FROM terms"
+    )
+
+    from liblevenshtein_rust_spark.functions.canonicalize import ZOMPIST_RULES
+    _zk = "w"
+    for pat, rep in ZOMPIST_RULES:
+        _zk = f"regexp_replace({_zk}, '{pat}', '{rep}', 'g')"
+    o["zompist_keys"] = (
+        f"WITH {_TRANSCRIPTS_CTE.strip()}, {_WORDS_CTE.strip()} "
+        f"SELECT DISTINCT w AS term, {_zk} AS zkey FROM wf"
     )
 
     o["dict_stats"] = (

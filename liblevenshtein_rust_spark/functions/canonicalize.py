@@ -53,6 +53,56 @@ def phonetic_canon(col: Column | str) -> Column:
     return c
 
 
+# The reference's FULL 13-rule Zompist chain, rule for rule and in rule-set
+# order (/root/reference/src/phonetic/rules.rs: orthography_rules() 8 +
+# phonetic_rules() 3 + test_rules() 2; composition zompist_rules() at
+# rules.rs:286). Representation choices and deviations, all deliberate:
+#
+# - Digraph phones ç (tsh) and $ (sh) are represented as 'C' and 'S' —
+#   input is lowercased by canon_text, so uppercase letters are free
+#   representation symbols that survive both engines as plain ASCII.
+# - Context::BeforeVowel([e,i]) is spelled out per vowel (ce→se, ci→si)
+#   because RE2 (the DuckDB oracle's regex engine) has no lookahead;
+#   spelled-out consumption is equivalent to the reference's
+#   position-scan for these rules (vowels are never rule targets).
+# - Context::Final is the RE2-safe '$' anchor (term-level application —
+#   apply to words, not multi-word turn texts).
+# - APPLICATION SEMANTICS: one global left-to-right pass per rule, in
+#   order. The reference's apply_rules_seq (application.rs:313) instead
+#   loops to a fixpoint with restart and a FUEL bound — under which the
+#   qu→kw / kw→qu pair oscillates until fuel is exhausted, making the
+#   result fuel-dependent. The single-pass chain is the deterministic,
+#   unconditionally terminating restriction (each rule fires once; no
+#   fuel parameter), and agrees with the fixpoint on oscillation-free
+#   inputs.
+ZOMPIST_RULES: list[tuple[str, str]] = [
+    (r"ch", "C"),     # rule 1: ch -> ç (tsh digraph)
+    (r"sh", "S"),     # rule 2: sh -> $ (sh digraph)
+    (r"ph", "f"),     # rule 3
+    (r"ce", "se"),    # rule 20: c -> s / _[ie]
+    (r"ci", "si"),
+    (r"c", "k"),      # rule 21: c -> k elsewhere
+    (r"ge", "je"),    # rule 22: g -> j / _[ie]
+    (r"gi", "ji"),
+    (r"e$", ""),      # rule 33: silent final e
+    (r"gh", ""),      # rule 34: gh -> ∅
+    (r"th", "t"),     # rule 100 (phonetic, weight 0.15)
+    (r"qu", "kw"),    # rule 101
+    (r"kw", "qu"),    # rule 102 (note: with 101 in sequence, original
+                      #   qu round-trips and original kw becomes qu)
+    (r"x", "yy"),     # rule 200 (expansion test rule)
+    (r"y", "z"),      # rule 201
+]
+
+
+def zompist_canon(col: Column | str) -> Column:
+    """Full Zompist spelling-normalization of a TERM (single word)."""
+    c = canon_text(col)
+    for pat, rep in ZOMPIST_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
 def term_id(col: Column | str) -> Column:
     """Deterministic, collision-safe (128-bit) term identifier.
 

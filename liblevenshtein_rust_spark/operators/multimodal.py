@@ -2,20 +2,27 @@
 
 Media payloads are opaque ``binary`` columns plus typed metadata; the
 decode / feature-extraction steps run as Arrow-batched ``mapInPandas``
-stages. The actual codecs are NOT available in this environment, so the
-decode kernels are stubs behind ``decoder=``:
+stages. Decoders, selected with ``decoder=``:
 
-- ``decoder="fake"`` (default): deterministic hash-derived features —
-  real batch shapes, real schema, fake pixels. Lets every Spark-side
-  contract (partitioning, batch sizes, schema evolution) be tested.
-- ``decoder="pillow"`` / ``"ffmpeg"``: raise NotImplementedError with a
-  clear message; the integration point is the single ``_decode_batch``
-  function below.
+- ``decoder="auto"``: REAL header+payload parsing for the two formats
+  that need no external library — uncompressed **BMP** images (header
+  fields + pixel bytes -> luminance histogram features) and PCM **WAV**
+  audio (fmt/data chunks -> per-slice RMS energy envelope). Formats that
+  require a codec library (JPEG/PNG/MP4/...) raise NotImplementedError
+  at exactly this seam — Pillow/ffmpeg plug into ``_decode_one``.
+- ``decoder="fake"`` (default): deterministic byte-sum features — no
+  parsing at all; exercises every Spark-side contract (partitioning,
+  batch shapes, schema) with arbitrary payload bytes.
 
-Scale notes: media rows are orders of magnitude wider than text rows, so
-``featurize_media`` repartitions by a byte-size budget before the Python
-stage (each Arrow batch stays within executor memory) — the media analog
-of tuning spark.sql.files.maxPartitionBytes.
+Feature semantics under ``auto``: images -> (width, height) from the
+BMP header, features = 32-bin pixel-byte histogram (normalized); audio
+-> width = sample rate, height = channels, features = RMS of 32 equal
+time slices of the PCM signal.
+
+Scale notes: media rows are orders of magnitude wider than text rows;
+partition byte budgets come from the source scan
+(spark.sql.files.maxPartitionBytes) and Arrow batch rows from
+arrow.maxRecordsPerBatch — see ``featurize_media``.
 """
 
 from __future__ import annotations
@@ -57,20 +64,91 @@ FEATURES_SCHEMA = StructType([
 ])
 
 
+def _decode_bmp(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Uncompressed BMP: (width, height, 32-bin pixel histogram)."""
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = abs(int.from_bytes(b[22:26], "little", signed=True))
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0:
+        raise NotImplementedError(
+            f"compressed BMP (compression={comp}) needs a codec library")
+    px = np.frombuffer(b, dtype=np.uint8, offset=off)
+    hist = np.histogram(px, bins=FEATURE_DIM, range=(0, 256))[0]
+    feats = (hist / max(px.size, 1)).astype(np.float32)
+    del bpp
+    return w, h, feats
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Canonical PCM WAV: (sample_rate, channels, 32-slice RMS envelope)."""
+    if len(b) < 44 or b[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    # walk RIFF chunks for fmt / data
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = b[pos + 8:pos + 8 + sz]
+        elif cid == b"data":
+            data = b[pos + 8:pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"non-PCM16 WAV (fmt={audio_fmt}, bits={bits}) needs a codec")
+    x = np.frombuffer(data[:len(data) - (len(data) % 2)], dtype="<i2") \
+        .astype(np.float64)
+    if x.size == 0:
+        return rate, channels, np.zeros(FEATURE_DIM, np.float32)
+    n = (x.size // FEATURE_DIM) * FEATURE_DIM
+    if n == 0:
+        pad = np.zeros(FEATURE_DIM, np.float64)
+        pad[:x.size] = x
+        x, n = pad, FEATURE_DIM
+    env = np.sqrt((x[:n].reshape(FEATURE_DIM, -1) ** 2).mean(axis=1))
+    return rate, channels, env.astype(np.float32)
+
+
+def _decode_one(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Sniff-and-decode a single payload. This is THE codec seam: a real
+    deployment adds `elif` arms calling Pillow/ffmpeg here; per-payload
+    dispatch is inherent (formats vary row to row), the numeric work per
+    payload is numpy."""
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return _decode_wav(b)
+    raise NotImplementedError(
+        "payload format not decodable without a codec library "
+        f"(magic={b[:4]!r}); plug Pillow/ffmpeg into _decode_one")
+
+
 def _decode_batch(payloads: pd.Series, kinds: pd.Series,
                   decoder: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """payloads -> (width[B], height[B], features[B, FEATURE_DIM]).
-
-    STUB: only the deterministic "fake" decoder is implemented here (no
-    image/audio libraries in this container). A real deployment plugs
-    Pillow/ffmpeg in at exactly this seam; everything around it (Arrow
-    batching, schema, partition sizing) is production-shaped.
-    """
+    """payloads -> (width[B], height[B], features[B, FEATURE_DIM])."""
+    if decoder == "auto":
+        B = len(payloads)
+        widths = np.zeros(B, dtype=np.int32)
+        heights = np.zeros(B, dtype=np.int32)
+        feats = np.zeros((B, FEATURE_DIM), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            w, h, f = _decode_one(bytes(p) if p is not None else b"")
+            widths[i], heights[i], feats[i] = w, h, f
+        return widths, heights, feats
     if decoder != "fake":
         raise NotImplementedError(
-            f"decoder={decoder!r}: real codecs are not available in this "
-            "environment; use decoder='fake' (deterministic hash features) "
-            "or plug a codec into _decode_batch")
+            f"decoder={decoder!r}: use 'auto' (BMP/PCM-WAV, library-free), "
+            "'fake' (byte-sum features), or plug a codec into _decode_one")
     B = len(payloads)
     blobs = [bytes(p) if p is not None else b"" for p in payloads]
     lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=B)
@@ -127,20 +205,83 @@ def featurize_media(media: DataFrame, *, decoder: str = "fake",
     return sized.mapInPandas(_featurize, schema=FEATURES_SCHEMA)
 
 
+def bmp_payload(seed: bytes) -> bytes:
+    """Deterministic uncompressed 24-bpp BMP whose pixel bytes cycle the
+    seed. Valid per the BITMAPINFOHEADER spec — parseable by any viewer."""
+    w = 8 + (len(seed) % 9)
+    h = 4 + (len(seed) % 5)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    px_size = stride * h
+    seed = seed or b"\x00"
+    reps = px_size // len(seed) + 1
+    pixels = (seed * reps)[:px_size]
+    header = (
+        b"BM" + (54 + px_size).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + px_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + b"\x00" * 8
+    )
+    return header + pixels
+
+
+def wav_payload(seed: bytes, rate: int = 8000) -> bytes:
+    """Deterministic canonical PCM16 mono WAV; samples derived from the
+    seed bytes (centered, scaled to 16 bits)."""
+    seed = seed or b"\x00"
+    samples = ((np.frombuffer(seed, dtype=np.uint8).astype(np.int16) - 128)
+               * 256).astype("<i2").tobytes()
+    header = (
+        b"RIFF" + (36 + len(samples)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(samples).to_bytes(4, "little")
+    )
+    return header + samples
+
+
 def synth_media(spark, docs: DataFrame, *, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """Deterministic media table derived from documents: payload = utf-8
-    bytes of the text (an opaque blob as far as the pipeline cares),
-    kind cycles image/audio/video, metadata carries provenance."""
+                text_col: str = "text", real_payloads: bool = False) -> DataFrame:
+    """Deterministic media table derived from documents; kind cycles
+    image/audio/video, metadata carries provenance.
+
+    ``real_payloads=True`` assembles actual format bytes — BMP for
+    images, PCM WAV for audio (decodable by ``decoder="auto"``); video
+    stays an opaque blob (no library-free video container), exercising
+    the NotImplementedError codec seam. False keeps raw utf-8 bytes."""
     kind = (
         F.when(F.col(id_col) % 3 == 0, "image")
         .when(F.col(id_col) % 3 == 1, "audio")
         .otherwise("video")
     )
-    return docs.select(
+    base = docs.select(
         F.concat(F.lit("m_"), F.col(id_col).cast("string")).alias("media_id"),
         kind.alias("kind"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.create_map(F.lit("source"), F.lit("documents"),
                      F.lit("doc_id"), F.col(id_col).cast("string")).alias("meta"),
     )
+    if not real_payloads:
+        return base
+
+    def _assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for k, p in zip(pdf["kind"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                if k == "image":
+                    out.append(bmp_payload(b))
+                elif k == "audio":
+                    out.append(wav_payload(b))
+                else:
+                    out.append(b)
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return base.mapInPandas(_assemble, schema=MEDIA_SCHEMA)

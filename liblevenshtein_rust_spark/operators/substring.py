@@ -134,18 +134,25 @@ def fuzzy_substring_join(
             .select("_qid", "_s0",
                     F.xxhash64(F.expr("substring(_q, _s0 + 1, _sl)")).alias("_bkey"))
         )
-        # doc side: inverted index of all substrings at the needed lengths
+        # doc side: inverted index of all substrings at the needed lengths.
+        # One union branch per length, each a codegen explode(sequence) +
+        # substring + xxhash64 — NO higher-order lambdas (transform/flatten
+        # are interpreted row-at-a-time and were 5-10x slower here; same
+        # trap as documented in operators/dedup.minhash_signatures)
         seg_lens = sorted({ln for m in long_lens
                            for _, ln in _segments(m, n, variant)})
-        lens_sql = ", ".join(str(x) for x in seg_lens)
-        dk = ds.select(
-            "_did",
-            F.explode(F.expr(
-                f"flatten(transform(filter(array({lens_sql}), l -> l <= length(_t)), "
-                "l -> transform(sequence(1, length(_t) - l + 1), "
-                "p -> named_struct('p', p, 'k', xxhash64(substring(_t, p, l))))))"
-            )).alias("_e"),
-        ).select("_did", F.col("_e.p").alias("_p"), F.col("_e.k").alias("_bkey"))
+        dk = None
+        for L in seg_lens:
+            branch = (
+                ds.where(F.length("_t") >= L)
+                .select("_did",
+                        F.explode(F.sequence(
+                            F.lit(1), F.length("_t") - L + 1)).alias("_p"),
+                        "_t")
+                .select("_did", "_p",
+                        F.xxhash64(F.expr(f"substring(_t, _p, {L})")).alias("_bkey"))
+            )
+            dk = branch if dk is None else dk.unionByName(branch)
         anchors = (
             qk.join(dk, "_bkey")
             .select("_qid", "_did", (F.col("_p") - F.col("_s0")).alias("_a"))
@@ -172,12 +179,21 @@ def fuzzy_substring_join(
         return _empty_result(queries, q_id, q_text, d_id, all_positions)
 
     probes = probes.dropDuplicates(["_qid", "_did", "pos"])
+    # JVM codegen prefilter before the Arrow kernel: if some width-w window
+    # at pos is within n, then the m-char window is within
+    # d_var(q, win_w) * (2 if variant else 1) + |m - w| of q in STANDARD
+    # distance, i.e. <= 2n (standard) / 3n (OSA, merge-split). The built-in
+    # early-abort levenshtein prunes garbage candidates inside codegen; at
+    # n=0 it IS the exact check.
+    thr = 2 * n if variant == STANDARD else 3 * n
     with_text = (
         probes.join(qs, "_qid").join(ds, "_did")
         # a window can only reach distance <= n if pos is in range and at
         # least m-n chars remain
         .where((F.col("pos") >= 1) &
                (F.col("pos") <= F.length("_t") - (F.length("_q") - n) + 1))
+        .where(F.expr(
+            f"levenshtein(_q, substring(_t, pos, length(_q)), {thr}) >= 0"))
         # ship only the (m+n)-char window to the Arrow kernel, never _t
         .withColumn("_w", F.expr(f"substring(_t, pos, length(_q) + {n})"))
     )
