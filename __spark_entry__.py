@@ -478,6 +478,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             5)
         .select("q_id", "rank", "c_id")
     )
+
+    def _topk_ivf(s, d):
+        # rows-only: approximate by construction (IVF cell misses)
+        from liblevenshtein_rust_spark.operators.similarity import cosine_top_k_ivf
+        return (
+            cosine_top_k_ivf(
+                _emb(s, d).where(F.col("vec_id") < 20)
+                .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")),
+                _emb(s, d).where(F.col("vec_id") >= 20)
+                .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
+                5, n_centroids=8, n_probe=4)
+            .select("q_id", "rank", "c_id")
+        )
+    q["embedding_topk_ivf"] = _topk_ivf
     return q
 
 

@@ -80,6 +80,79 @@ def make_signature_udf(n_planes: int, seed: int):
     return _sig
 
 
+def _train_centroids(corpus: DataFrame, c_vec: str, n_centroids: int,
+                     seed: int, sample_limit: int, c_id: str) -> np.ndarray:
+    """Seeded Lloyd k-means on a BOUNDED, deterministic sample.
+
+    The sample (first ``sample_limit`` vectors by id order) is the only
+    data that ever reaches the driver — the adaptive-stats pattern, same
+    budget MLlib's k-means pays per iteration for its centroid sync.
+    Centroids are L2-normalized so assignment argmax(dot) = argmax(cosine).
+    """
+    rows = (corpus.orderBy(c_id).limit(sample_limit)
+            .select(c_vec).collect())
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)]
+    for _ in range(10):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def cosine_top_k_ivf(queries: DataFrame, corpus: DataFrame, k: int,
+                     *, q_id: str = "q_id", q_vec: str = "q_vec",
+                     c_id: str = "c_id", c_vec: str = "c_vec",
+                     n_centroids: int = 16, n_probe: int = 4,
+                     seed: int = 42, sample_limit: int = 10_000) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    to their nearest centroid (one cell each); each query probes its
+    ``n_probe`` nearest cells and scores only those candidates exactly.
+
+    The centroid table is trained once on a bounded sample and shipped to
+    executors inside the assignment UDF (tiny: n_centroids x dim floats).
+    Candidate count per query is ~ |corpus| * n_probe / n_centroids —
+    the classic IVF recall/cost dial. Output schema matches cosine_top_k;
+    recall < 1 by design (cell-boundary misses).
+    """
+    C = _train_centroids(corpus, c_vec, n_centroids, seed, sample_limit, c_id)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = V @ C.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    ck = corpus.select(
+        F.col(c_id), F.col(c_vec),
+        F.element_at(_cells(F.col(c_vec)), 1).alias("_cell"))
+    qk = queries.select(
+        F.col(q_id), F.col(q_vec),
+        F.explode(_cells(F.col(q_vec))).alias("_cell"))
+    cand = (
+        qk.join(ck, "_cell")
+        .dropDuplicates([q_id, c_id])
+        .select(F.col(q_id), F.col(c_id), _cosine(q_vec, c_vec).alias("sim"))
+    )
+    win = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "sim")
+    )
+
+
 def cosine_top_k_lsh(queries: DataFrame, corpus: DataFrame, k: int,
                      *, q_id: str = "q_id", q_vec: str = "q_vec",
                      c_id: str = "c_id", c_vec: str = "c_vec",
