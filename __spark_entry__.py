@@ -190,8 +190,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _term_pairs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    """Distinct-term fuzzy self-join; output normalized by term text."""
-    pairs = fuzzy_self_join(_term_df(spark, sf_dir), n=n, method="segment")
+    """Distinct-term fuzzy self-join; output normalized by term text.
+
+    persist=True: the operator reads the dictionary 4x (two key sides +
+    two text attaches) and here the dictionary is a live derivation
+    lineage, not a checkpointed table — caching the (tiny, distinct-term)
+    input is a 4x wall win at bench scale (15.7s -> 4.1s at sf0.1)."""
+    pairs = fuzzy_self_join(_term_df(spark, sf_dir), n=n, method="segment",
+                            persist=True)
     return pairs.select(
         F.least("term_a", "term_b").alias("term_a"),
         F.greatest("term_a", "term_b").alias("term_b"),

@@ -59,10 +59,22 @@ def _spark(cores: str):
                                  if cores.isdigit() else "64"})
 
 
+def _warmup(spark, em) -> None:
+    """Absorb one-time session costs (codegen/JIT compile, Arrow + Python
+    worker spin-up, parquet footer reads) before timing — on a real
+    cluster these are paid once per long-lived executor, not per query.
+    Runs the cheapest headline query once."""
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    em.queries()["token_stats"](spark, SF_DIR).count()
+    em.queries()["fuzzy_words_std_d2"](spark, SF_DIR).count()
+
+
 def run_default() -> None:
     import __spark_entry__ as em
     spark = _spark(CPUS)
     qs = em.queries()
+    _warmup(spark, em)
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

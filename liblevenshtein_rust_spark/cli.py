@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--max-distance", type=int, default=2)
     qp.add_argument("--variant", default="standard")
     qp.add_argument("--limit", type=int, default=0)
+    qp.add_argument("--prefix", action="store_true",
+                    help="autocomplete mode: match term prefixes")
+    qp.add_argument("--substring", action="store_true",
+                    help="substring mode: match anywhere inside each line "
+                         "(prints term\\tdistance\\tposition)")
 
     sp = sub.add_parser("stream", help="incremental linkage over a landing dir")
     sp.add_argument("--input", required=True)
@@ -72,11 +77,31 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "query":
         from liblevenshtein_rust_spark.operators.fuzzy_join import (
-            fuzzy_join, fuzzy_top_k)
+            fuzzy_join, fuzzy_prefix_join, fuzzy_top_k)
         from liblevenshtein_rust_spark.sources.corpus import load_wordlist
         d = load_wordlist(spark, args.dict)
         q = spark.createDataFrame([(args.term, args.term)], ["q_id", "q_text"])
-        m = fuzzy_join(q, d, n=args.max_distance, variant=args.variant)
+        if args.substring:
+            from pyspark.sql import functions as F
+            from liblevenshtein_rust_spark.operators.substring import (
+                fuzzy_substring_join)
+            m = fuzzy_substring_join(
+                q, d.select(F.col("term_id").alias("doc_id"),
+                            F.col("term").alias("text")),
+                n=args.max_distance, variant=args.variant,
+                all_positions=True)
+            m = m.join(d.select(F.col("term_id").alias("doc_id"), "term"),
+                       "doc_id").orderBy("distance", "term", "pos")
+            if args.limit:
+                m = m.limit(args.limit)
+            for r in m.collect():
+                print(f"{r.term}\t{r.distance}\t{r.pos}")
+            return 0
+        if args.prefix:
+            m = fuzzy_prefix_join(q, d, n=args.max_distance,
+                                  variant=args.variant)
+        else:
+            m = fuzzy_join(q, d, n=args.max_distance, variant=args.variant)
         m = fuzzy_top_k(m, args.limit) if args.limit else \
             m.orderBy("distance", "term")
         for r in m.collect():
