@@ -362,6 +362,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["substring_all_positions"] = _substring_positions
 
+    # event-time tumbling-window aggregation over the events table (the
+    # batch twin of streaming/stateful.windowed_turn_counts; value sums
+    # emitted in integer cents to keep the hash float-free)
+    def _event_windows(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet")
+        return (
+            ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value") * 100).cast("long").alias("value_cents"))
+            # string window key: timestamp columns hash differently across
+            # engines (ns vs us resolution)
+            .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"), "event_type", "n_events", "value_cents")
+        )
+    q["event_window_counts"] = _event_windows
+
     # big.txt word-frequency extraction over running text
     def _bigtxt(s, d):
         from liblevenshtein_rust_spark.sources.corpus import word_frequencies
@@ -447,6 +463,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("q_text").alias("query"), "term", "distance")
         )
     q["subst_fuzzy_phonetic"] = _subst_fuzzy
+
+    # Restricted substitutions with DISJOINT pairs: zero-cost equality is
+    # then exactly class-canonical equality, so the distance equals
+    # levenshtein over translate()d strings — SQL-expressible, making
+    # this variant oracled (the phonetic_basic entry above keeps the
+    # non-transitive pair semantics the SQL twin cannot express).
+    def _subst_fuzzy_disjoint(s, d):
+        from liblevenshtein_rust_spark.functions.substitutions import SubstitutionSet
+        dict_df = s.createDataFrame(
+            [(t,) for t in ["phone", "zone", "seat", "kite", "gem", "quest"]],
+            ["term"]).withColumn("term_id", F.col("term"))
+        qs = s.createDataFrame(
+            [(t, t) for t in ["fone", "zeat", "jim", "kyte", "quest"]],
+            ["q_id", "q_text"])
+        subs = SubstitutionSet.of(("f", "p"), ("s", "z"), ("i", "y"), ("g", "j"))
+        return (
+            fuzzy_join(qs, dict_df, n=1, method="deletion", substitutions=subs)
+            .select(F.col("q_text").alias("query"), "term", "distance")
+        )
+    q["subst_fuzzy_disjoint"] = _subst_fuzzy_disjoint
 
     # --- multimodal decode/featurize (rows-only) ---
     # image/audio payloads are REAL format bytes (BMP / PCM WAV) decoded
@@ -736,6 +772,13 @@ def oracle_sql() -> dict[str, str]:
         "  AND substr(lower(text), p, length(query)) = query"
     )
 
+    o["event_window_counts"] = (
+        "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, event_type, "
+        "count(*) AS n_events, "
+        "CAST(round(sum(value) * 100) AS BIGINT) AS value_cents "
+        "FROM events GROUP BY 1, 2"
+    )
+
     o["bigtxt_wordfreq"] = (
         "SELECT term, count(*) AS freq FROM ("
         "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term "
@@ -785,6 +828,41 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_TRANSCRIPTS_CTE.strip()}, "
         "terms AS (SELECT DISTINCT canon_text FROM ct) "
         f"SELECT canon_text AS term, {_ph} AS pkey FROM terms"
+    )
+
+    # disjoint zero-cost substitution classes {f,p} {s,z} {i,y} {g,j}:
+    # restricted distance == levenshtein over class-canonicalized strings
+    _tr = "translate({0}, 'pzyj', 'fsig')"
+    _sq = ", ".join(f"('{t}')" for t in ["fone", "zeat", "jim", "kyte", "quest"])
+    _sd = ", ".join(f"('{t}')" for t in ["phone", "zone", "seat", "kite", "gem", "quest"])
+    o["subst_fuzzy_disjoint"] = (
+        f"WITH d(term) AS (VALUES {_sd}), q(query) AS (VALUES {_sq}) "
+        f"SELECT query, term, CAST(levenshtein({_tr.format('query')}, "
+        f"{_tr.format('term')}) AS INT) AS distance "
+        f"FROM q, d WHERE levenshtein({_tr.format('query')}, {_tr.format('term')}) <= 1"
+    )
+
+    # media_features: the decode outputs are closed-form in the payload
+    # size (BMP geometry/stride arithmetic, WAV header math, fake-path
+    # dims), and payload size == length(text) for this ASCII corpus — so
+    # DuckDB can recompute every value the Spark decoders parse out of
+    # real format bytes. ((4 - x % 4) % 4) is the python (-x) % 4 (DuckDB
+    # modulo keeps the dividend's sign).
+    o["media_features"] = (
+        "WITH n AS (SELECT doc_id, length(text) AS nb FROM documents), "
+        "img AS (SELECT 'm_' || CAST(doc_id AS VARCHAR) AS media_id, "
+        "  'image' AS kind, "
+        "  CAST(54 + ((8 + nb % 9) * 3 + ((4 - ((8 + nb % 9) * 3) % 4) % 4)) "
+        "       * (4 + nb % 5) AS BIGINT) AS n_bytes, "
+        "  CAST(8 + nb % 9 AS INT) AS width, CAST(4 + nb % 5 AS INT) AS height "
+        "  FROM n WHERE doc_id % 3 = 0), "
+        "aud AS (SELECT 'm_' || CAST(doc_id AS VARCHAR), 'audio', "
+        "  CAST(44 + 2 * nb AS BIGINT), CAST(8000 AS INT), CAST(1 AS INT) "
+        "  FROM n WHERE doc_id % 3 = 1), "
+        "vid AS (SELECT 'm_' || CAST(doc_id AS VARCHAR), 'video', "
+        "  CAST(nb AS BIGINT), CAST(16 + nb % 64 AS INT), "
+        "  CAST(16 + (nb // 64) % 64 AS INT) FROM n WHERE doc_id % 3 = 2) "
+        "SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid"
     )
 
     from liblevenshtein_rust_spark.functions.canonicalize import ZOMPIST_RULES
