@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--method", default="auto")
     pp.add_argument("--phonetic", action="store_true")
     pp.add_argument("--table-format", default="parquet")
+    pp.add_argument("--bucket-by", type=int, default=None,
+                    help="bucket keyed checkpoint stages for no-shuffle "
+                         "downstream joins (bucket count)")
 
     qp = sub.add_parser("query", help="fuzzy query a term dictionary")
     qp.add_argument("--dict", required=True, help="newline-delimited term file")
@@ -70,7 +73,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = PipelineConfig(
             checkpoint_dir=args.checkpoint_dir, run_id=args.run_id,
             n=args.max_distance, variant=args.variant, method=args.method,
-            phonetic=args.phonetic, table_format=args.table_format)
+            phonetic=args.phonetic, table_format=args.table_format,
+            bucket_by=args.bucket_by)
         res = run_pipeline(spark, turns, cfg)
         print(json.dumps({k: v for k, v in res["info"].items()}, default=str))
         return 0

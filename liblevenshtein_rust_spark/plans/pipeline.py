@@ -49,7 +49,18 @@ class PipelineConfig:
     table_format: str = "parquet"   # "iceberg" on clusters with a catalog
     shuffle_partitions: int | None = None
     cc_max_iterations: int = 20
+    #: bucket count for keyed checkpoint stages (terms/scored_pairs/
+    #: clusters, bucketed+sorted by their join key via saveAsTable).
+    #: Downstream equi-joins between co-bucketed stages then run with NO
+    #: exchange on either side — the physical-design lever for repeated
+    #: joins over the same keys at 100 TB. None = plain parquet dirs.
+    bucket_by: int | None = None
     extra: dict = field(default_factory=dict)
+
+
+#: join key per bucketable stage (the column later equi-joins hit)
+_BUCKET_KEYS = {"terms": "term_id", "scored_pairs": "id_a",
+                "clusters": "term_id"}
 
 
 class _Runner:
@@ -57,6 +68,15 @@ class _Runner:
         self.spark = spark
         self.cfg = cfg
         self.info: dict[str, dict] = {}
+
+    def _bucketed(self, stage: str) -> bool:
+        return (self.cfg.bucket_by is not None
+                and self.cfg.table_format == "parquet"
+                and stage in _BUCKET_KEYS)
+
+    def _ensure_db(self) -> None:
+        self.spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS {self.cfg.extra.get('db', 'lls')}")
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.cfg.checkpoint_dir, self.cfg.run_id, stage)
@@ -68,13 +88,16 @@ class _Runner:
         # probe through the catalog / Hadoop FS, not the driver's local
         # filesystem — resume must work with HDFS/S3 checkpoint dirs and
         # with Iceberg tables (which never write a parquet _SUCCESS marker)
-        if self.cfg.table_format == "iceberg":
+        if self.cfg.table_format == "iceberg" or self._bucketed(stage):
             return self.spark.catalog.tableExists(self._table(stage))
         from liblevenshtein_rust_spark.session import fs_exists
         return fs_exists(self.spark, os.path.join(self._path(stage), "_SUCCESS"))
 
     def _read(self, stage: str) -> DataFrame:
-        if self.cfg.table_format == "iceberg":
+        if self.cfg.table_format == "iceberg" or self._bucketed(stage):
+            # bucketed layouts are only visible through the catalog — a
+            # path read would lose the bucket spec (and the no-shuffle
+            # joins downstream)
             return self.spark.read.table(self._table(stage))
         return self.spark.read.parquet(self._path(stage))
 
@@ -89,6 +112,13 @@ class _Runner:
         df = fn()
         if self.cfg.table_format == "iceberg":
             df.writeTo(self._table(name)).createOrReplace()
+        elif self._bucketed(name):
+            self._ensure_db()
+            key = _BUCKET_KEYS[name]
+            (df.write.mode("overwrite")
+             .bucketBy(self.cfg.bucket_by, key).sortBy(key)
+             .option("path", path)
+             .saveAsTable(self._table(name)))
         else:
             df.write.mode("overwrite").parquet(path)
         out = self._read(name)
