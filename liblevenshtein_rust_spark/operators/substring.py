@@ -176,7 +176,7 @@ def fuzzy_substring_join(
         probes = sp if probes is None else probes.unionByName(sp)
 
     if probes is None:
-        return _empty_result(queries, q_id, q_text, d_id, all_positions)
+        return _empty_result(queries, docs, q_id, q_text, d_id, all_positions)
 
     probes = probes.dropDuplicates(["_qid", "_did", "pos"])
     # JVM codegen prefilter before the Arrow kernel: if some width-w window
@@ -217,10 +217,11 @@ def fuzzy_substring_join(
         F.col("_b.distance").alias("distance"), F.col("_b.pos").alias("pos"))
 
 
-def _empty_result(queries, q_id, q_text, d_id, all_positions):
-    s = queries.sparkSession
+def _empty_result(queries, docs, q_id, q_text, d_id, all_positions):
+    """Zero-row result whose id/text column types mirror the inputs."""
+    base = (queries.select(q_id, q_text).crossJoin(docs.select(d_id))
+            .withColumn("pos", F.lit(1)).withColumn("distance", F.lit(0))
+            .where(F.lit(False)))
     cols = ([q_id, q_text, d_id, "pos", "distance"] if all_positions
             else [q_id, q_text, d_id, "distance", "pos"])
-    schema = ", ".join(
-        f"{c} string" if c in (q_id, q_text) else f"{c} int" for c in cols)
-    return s.createDataFrame([], schema)
+    return base.select(*cols)

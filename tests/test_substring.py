@@ -143,6 +143,15 @@ def test_brute_force_parity_random_osa(spark):
     assert exp
 
 
+def test_empty_query_set(spark):
+    qdf = spark.createDataFrame([], "q_id string, q_text string")
+    ddf = spark.createDataFrame(DOCS, "doc_id int, text string")
+    out = fuzzy_substring_join(qdf, ddf, n=1)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "q_text", "doc_id", "distance", "pos"]
+    assert dict(out.dtypes)["doc_id"] == "int"
+
+
 def test_transposition_variant(spark):
     qdf = spark.createDataFrame([("q1", "brwon fox")], ["q_id", "q_text"])
     ddf = spark.createDataFrame(DOCS, ["doc_id", "text"])
