@@ -408,6 +408,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_join(F.col("contexts").cast("array<string>"), ",").alias("contexts"))
     q["scoped_complete"] = _scoped_complete
 
+    # contextual SESSION (engine.rs interactive surface): builds a scope
+    # tree over region keys, finalizes every nation name into its
+    # region's scope (nation is a constant-25-row fixture — the collect
+    # is bounded, not data-scaled), edits drafts through the
+    # insert/checkpoint/undo/delete ops, and completes from a grandchild
+    # scope. Exercises draft-wins dedup, multi-context collect, and
+    # sibling-scope pruning end-to-end through ContextualSession.
+    def _session_complete(s, d):
+        from liblevenshtein_rust_spark.operators.contextual_session import (
+            ContextualSession)
+        sess = ContextualSession(s)
+        sess.create_root_context(100)
+        for rk in range(5):
+            sess.create_child_context(rk, 100)
+        sess.create_child_context(200, 2)  # editing scope under ASIA
+        nation = s.read.parquet(f"{d}/nation.parquet")
+        for r in nation.select("n_name", "n_regionkey").orderBy("n_nationkey").collect():
+            sess.finalize_direct(int(r["n_regionkey"]), r["n_name"])
+        sess.finalize_direct(100, "INDIE")   # root-visible
+        sess.finalize_direct(2, "INDIE")     # also in ASIA -> contexts [2,100]
+        sess.finalize_direct(1, "INDAX")     # sibling scope: must be pruned
+        sess.finalize_direct(200, "INDYA")   # own-scope finalized
+        sess.insert_str(2, "INDIA")          # draft shadowing a finalized term
+        sess.insert_str(200, "INDAIX")
+        sess.checkpoint(200)
+        sess.insert_str(200, "???")
+        sess.undo(200)                       # back to "INDAIX"
+        sess.delete_char(200)                # -> "INDAI"
+        out = sess.complete(200, "INDAI", 2)
+        return out.select(
+            "q_id", "q_text", "term", "distance", "is_draft",
+            F.array_join(F.col("contexts").cast("array<string>"), ",").alias("contexts"))
+    q["session_complete"] = _session_complete
+
     # weighted OperationSet scoring (rows-only: float-cost DP has no SQL
     # twin): leet/OCR-confusable chars substitute at 0.25, max cost 1.0
     def _weighted_fuzzy(s, d):
@@ -819,6 +853,39 @@ def oracle_sql() -> dict[str, str]:
         "    ORDER BY is_draft DESC, distance ASC) AS rn FROM allr) "
         "SELECT qid AS query, term, distance, is_draft, contexts "
         "FROM ranked WHERE rn = 1"
+    )
+
+    # session_complete twin: same session script in SQL — literal tree /
+    # drafts / extra terms, nation names pulled from the table, recursive
+    # visibility closure, draft-wins dedup
+    o["session_complete"] = (
+        "WITH RECURSIVE "
+        "tree(id, parent) AS (VALUES (100, CAST(NULL AS BIGINT)), "
+        "  (0, 100), (1, 100), (2, 100), (3, 100), (4, 100), (200, 2)), "
+        "vis(ctx, v) AS (SELECT id, id FROM tree UNION ALL "
+        "  SELECT vis.ctx, t.parent FROM vis JOIN tree t ON vis.v = t.id "
+        "  WHERE t.parent IS NOT NULL), "
+        "fin(term, ctx) AS ("
+        "  SELECT n_name, CAST(n_regionkey AS BIGINT) FROM nation "
+        "  UNION ALL SELECT 'INDIE', 100 UNION ALL SELECT 'INDIE', 2 "
+        "  UNION ALL SELECT 'INDAX', 1 UNION ALL SELECT 'INDYA', 200), "
+        "dr(ctx, draft) AS (VALUES (CAST(2 AS BIGINT), 'INDIA'), "
+        "  (CAST(200 AS BIGINT), 'INDAI')), "
+        "finv AS (SELECT f.term, CAST(levenshtein('INDAI', f.term) AS INT) AS distance, "
+        "    FALSE AS is_draft, "
+        "    array_to_string(list_sort(list(DISTINCT f.ctx)), ',') AS contexts "
+        "  FROM fin f JOIN vis ON vis.ctx = 200 AND vis.v = f.ctx "
+        "  WHERE levenshtein('INDAI', f.term) <= 2 GROUP BY f.term), "
+        "drv AS (SELECT d.draft AS term, "
+        "    CAST(levenshtein('INDAI', d.draft) AS INT) AS distance, TRUE AS is_draft, "
+        "    array_to_string(list_sort(list(DISTINCT d.ctx)), ',') AS contexts "
+        "  FROM dr d JOIN vis ON vis.ctx = 200 AND vis.v = d.ctx "
+        "  WHERE levenshtein('INDAI', d.draft) <= 2 GROUP BY d.draft), "
+        "allr AS (SELECT * FROM finv UNION ALL SELECT * FROM drv), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY term "
+        "    ORDER BY is_draft DESC, distance ASC) AS rn FROM allr) "
+        "SELECT CAST(0 AS BIGINT) AS q_id, 'INDAI' AS q_text, term, distance, "
+        "is_draft, contexts FROM ranked WHERE rn = 1"
     )
 
     _ph = "canon_text"
