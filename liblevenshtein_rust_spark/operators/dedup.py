@@ -261,3 +261,33 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         .select("id_a", "id_b", "hamming")
     )
     return cand
+
+
+def near_dup_dedup(docs: DataFrame, pairs: DataFrame, *,
+                   id_col: str = "doc_id", src: str = "id_a",
+                   dst: str = "id_b", checkpoint=None) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the training-data-pipeline end
+    game the pair joins feed: connected components over near-dup pairs
+    (large-star/small-star), keep exactly one canonical document per
+    cluster (the minimum id — deterministic under any partitioning),
+    drop the rest.
+
+    Returns the surviving rows of ``docs`` (all original columns) plus
+    ``n_removed`` = cluster size - 1. Docs appearing in no pair survive
+    with n_removed = 0. Scale shape: the only new work over the pair join
+    is the CC iteration (small, converges in O(log n) rounds) and two
+    hash joins on the id column."""
+    from liblevenshtein_rust_spark.operators.cluster import (
+        connected_components)
+
+    clusters = connected_components(
+        pairs, docs.select(id_col), src=src, dst=dst, node_col=id_col,
+        checkpoint=checkpoint)
+    sizes = clusters.groupBy("entity_id").agg(
+        (F.count(F.lit(1)) - F.lit(1)).cast("int").alias("n_removed"))
+    survivors = (
+        clusters.where(F.col(id_col) == F.col("entity_id"))
+        .join(sizes, "entity_id")
+        .select(id_col, "n_removed")
+    )
+    return docs.join(survivors, id_col)

@@ -350,3 +350,102 @@ def fuzzy_multimap(matches: DataFrame, values: DataFrame,
     joined = matches.join(values, term_col)
     return joined.groupBy(query_col).agg(
         F.array_sort(F.collect_set(F.col(value_col))).alias("values"))
+
+
+def weighted_edit_envelope(ops, max_cost: float) -> int:
+    """Unit-edit envelope of a weighted-cost threshold: any pair with
+    weighted cost <= max_cost is connected by an edit script of at most
+    floor(max_cost / w_min) operations, where w_min is the cheapest
+    POSITIVE operation weight (insert/delete are always > 0 per
+    WeightedOps' Theorem-8.2 guard; substitute/transpose/restricted
+    classes participate when positive). The script's ops are all standard
+    or transposition edits, so the unit-cost blocking machinery at
+    n = envelope is a recall-lossless candidate generator for the
+    weighted join (the weighted analog of the automaton-degree bound,
+    /root/reference/src/transducer/operation_set.rs:78-240).
+
+    A zero-weight restricted class would make the envelope unbounded
+    (any number of free substitutions) — that case must be expressed as
+    a unit-cost ``substitutions=SubstitutionSet`` canonicalization
+    instead, and is rejected here."""
+    import math
+
+    weights = [ops.insert, ops.delete]
+    if ops.substitute is not None:
+        weights.append(ops.substitute)
+    if ops.transpose is not None:
+        weights.append(ops.transpose)
+    weights.extend(w for _, w in ops.restricted)
+    if any(w <= 0 for w in weights if w is not None):
+        raise ValueError(
+            "zero-weight operations make the edit envelope unbounded; "
+            "model free substitutions with SubstitutionSet canonicalization "
+            "(fuzzy_join(substitutions=...)) instead")
+    return int(math.floor(float(max_cost) / min(weights)))
+
+
+def weighted_fuzzy_join(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    *,
+    max_cost: float,
+    ops=None,
+    method: str = "auto",
+    q_id: str = "q_id",
+    q_text: str = "q_text",
+    d_id: str = "term_id",
+    d_text: str = "term",
+    max_envelope: int = 4,
+    persist: bool = False,
+) -> DataFrame:
+    """Weighted-cost similarity join: all (query, term) pairs whose
+    WEIGHTED edit cost (per-op float weights + restricted substitution
+    classes, functions/weighted.WeightedOps) is <= ``max_cost``.
+
+    Output: q_id, q_text, term_id, term, cost (double). Blocking reuses
+    the unit-cost key machinery at n = weighted_edit_envelope (recall
+    proof in that docstring); verification is the banded float DP
+    (weighted_batch_distance) behind a JVM codegen prefilter.
+
+    ``max_envelope`` guards against cheap-op configs whose envelope would
+    explode the key neighborhood (the reference caps automaton distance
+    at n <= 7 for the same combinatorial reason, transition.rs:49)."""
+    from liblevenshtein_rust_spark.functions.weighted import (
+        WeightedOps, make_weighted_distance_udf)
+
+    ops = ops or WeightedOps.standard()
+    n_env = weighted_edit_envelope(ops, max_cost)
+    if n_env > max_envelope:
+        raise ValueError(
+            f"edit envelope {n_env} (= floor({max_cost} / min op weight)) "
+            f"exceeds max_envelope={max_envelope}; raise op weights, lower "
+            f"max_cost, or opt in via max_envelope")
+    variant = TRANSPOSITION if ops.transpose is not None else STANDARD
+    if persist:
+        queries = queries.persist()
+        dictionary = dictionary.persist()
+    method = _resolve_method(method)
+    qk = _keys_for(queries, q_id, q_text, n_env, variant, method, role="probe")
+    dk = _keys_for(dictionary, d_id, d_text, n_env, variant, method,
+                   role="index")
+    pairs = _candidates_from_keys(qk, dk, self_join=False)
+    lt = queries.select(F.col(q_id).alias("_ida"),
+                        F.col(q_text).alias("_ta")).dropDuplicates(["_ida"])
+    rt = dictionary.select(F.col(d_id).alias("_idb"),
+                           F.col(d_text).alias("_tb")).dropDuplicates(["_idb"])
+    with_text = pairs.join(lt, "_ida").join(rt, "_idb")
+    # JVM prefilters before the Arrow kernel: a length delta of k costs
+    # >= k * min(insert, delete); and the unit envelope bounds the plain
+    # Levenshtein distance (early-abort codegen check, -1 above bound).
+    import math
+    len_tol = int(math.floor(float(max_cost) / min(ops.insert, ops.delete)))
+    with_text = with_text.where(
+        F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(len_tol))
+    if variant == STANDARD:
+        with_text = with_text.where(
+            F.expr(f"levenshtein(_ta, _tb, {int(n_env)}) >= 0"))
+    cost_udf = make_weighted_distance_udf(float(max_cost), ops)
+    scored = with_text.withColumn("cost", cost_udf(F.col("_ta"), F.col("_tb")))
+    return scored.where(F.col("cost") <= float(max_cost)).select(
+        F.col("_ida").alias(q_id), F.col("_ta").alias(q_text),
+        F.col("_idb").alias(d_id), F.col("_tb").alias(d_text), "cost")

@@ -98,3 +98,30 @@ def test_exact_dedup_groups(spark, docs):
     for r in groups:
         assert r.rep_id == min(by_fp[r.fp])
         assert r.n_docs == len(by_fp[r.fp])
+
+
+def test_near_dup_dedup_keeps_one_per_cluster(spark):
+    from liblevenshtein_rust_spark.operators.dedup import near_dup_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"payload_{i}") for i in range(1, 9)], "doc_id long, body string")
+    # clusters: {1,2,3} (transitively via 1-2, 2-3), {4,5}; 6,7,8 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    got = {(r["doc_id"], r["body"], r["n_removed"])
+           for r in near_dup_dedup(docs, pairs).collect()}
+    assert got == {
+        (1, "payload_1", 2),   # canonical of {1,2,3}
+        (4, "payload_4", 1),   # canonical of {4,5}
+        (6, "payload_6", 0), (7, "payload_7", 0), (8, "payload_8", 0),
+    }
+
+
+def test_near_dup_dedup_no_pairs_keeps_everything(spark):
+    from liblevenshtein_rust_spark.operators.dedup import near_dup_dedup
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, t string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = near_dup_dedup(docs, pairs)
+    assert got.count() == 2
+    assert got.where(F.col("n_removed") != 0).count() == 0

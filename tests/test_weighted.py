@@ -109,3 +109,60 @@ def test_weighted_udf_in_plan(spark):
     assert math.isclose(rows["c0de"], 0.2)
     assert math.isclose(rows["kitten"], 2.0)   # sentinel = max_cost + 1
     assert math.isclose(rows["zzz"], 2.0)
+
+
+def test_weighted_fuzzy_join_parity_vs_bruteforce(spark):
+    """Blocked weighted join == brute-force cross join + weighted DP on a
+    mixed corpus (recall-losslessness of the unit-edit envelope)."""
+    import importlib
+    fj = importlib.import_module(
+        "liblevenshtein_rust_spark.operators.fuzzy_join")
+    from pyspark.sql import functions as F
+
+    ops = WeightedOps(insert=1.0, delete=1.0, substitute=0.6, transpose=0.5)
+    max_cost = 1.2  # envelope = floor(1.2 / 0.5) = 2
+    assert fj.weighted_edit_envelope(ops, max_cost) == 2
+
+    words = ["table", "tble", "tabel", "cable", "fable", "stable", "tablet",
+             "chair", "chiar", "chairs", "merge", "merg", "mrge", "margE",
+             "zzz", "a", "ab", "ba", "", "tabel"]
+    dct = spark.createDataFrame(
+        [(w, w) for w in set(words) if w], "term_id string, term string")
+    qs = spark.createDataFrame(
+        [(q, q) for q in ["table", "chair", "merge", "ab"]],
+        "q_id string, q_text string")
+
+    got = {
+        (r["q_id"], r["term"], round(r["cost"], 4))
+        for r in fj.weighted_fuzzy_join(
+            qs, dct, max_cost=max_cost, ops=ops).collect()
+    }
+    expect = set()
+    for q in ["table", "chair", "merge", "ab"]:
+        for t in {w for w in words if w}:
+            c = weighted_distance_py(q, t, ops)
+            if c <= max_cost:
+                expect.add((q, t, round(c, 4)))
+    assert got == expect
+
+
+def test_weighted_fuzzy_join_rejects_unbounded_envelope(spark):
+    free = WeightedOps(restricted=((frozenset({("o", "0")}), 0.0),))
+    qs = spark.createDataFrame([("a", "a")], "q_id string, q_text string")
+    with pytest.raises(ValueError, match="unbounded"):
+        import importlib
+        fj = importlib.import_module(
+            "liblevenshtein_rust_spark.operators.fuzzy_join")
+        fj.weighted_fuzzy_join(qs, qs.selectExpr("q_id as term_id", "q_text as term"),
+                               max_cost=1.0, ops=free)
+
+
+def test_weighted_fuzzy_join_envelope_cap(spark):
+    import importlib
+    fj = importlib.import_module(
+        "liblevenshtein_rust_spark.operators.fuzzy_join")
+    qs = spark.createDataFrame([("a", "a")], "q_id string, q_text string")
+    with pytest.raises(ValueError, match="max_envelope"):
+        fj.weighted_fuzzy_join(
+            qs, qs.selectExpr("q_id as term_id", "q_text as term"),
+            max_cost=1.0, ops=WeightedOps.ocr())  # envelope 5 > cap 4
