@@ -547,6 +547,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "kind", "n_bytes", "width", "height")
     q["media_features"] = _media_features
 
+    # image resize: REAL nearest-neighbor resampling over decoded BMP
+    # grids; px_sum (exact integer sum of resized pixel bytes) is
+    # re-derived in SQL from the seed-cyclic pixel layout, verifying the
+    # resampling arithmetic end-to-end
+    def _media_resized(s, d):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from liblevenshtein_rust_spark.operators.multimodal import (
+            _bmp_grid, resize_images, synth_media)
+        m = synth_media(s, _docs(s, d), real_payloads=True)
+        r = resize_images(m, 16, 16)
+
+        def _px_sum(p: pd.Series) -> pd.Series:
+            return p.map(lambda b: int(
+                _bmp_grid(bytes(b)).astype(np.int64).sum()))
+        # explicit returnType (no type-hint resolution: this module uses
+        # PEP 563 string annotations and pd is function-local)
+        _px_sum.__annotations__ = {}
+        px_sum = pandas_udf(_px_sum, "long")
+
+        return r.select("media_id", "width", "height", "n_bytes",
+                        px_sum("payload").alias("px_sum"))
+    q["media_resized"] = _media_resized
+
+    # video frame sampling: walk the concatenated-BMP container, keep
+    # every 2nd frame of 4; frame byte sizes are SQL-derivable from the
+    # text length (rotation preserves seed length)
+    def _media_frames(s, d):
+        from liblevenshtein_rust_spark.operators.multimodal import (
+            sample_frames, synth_media)
+        m = synth_media(s, _docs(s, d), real_payloads=True, video_frames=4)
+        return sample_frames(m, every=2).select(
+            "media_id", "frame_idx", "n_frames",
+            F.octet_length("payload").cast("long").alias("n_bytes"))
+    q["media_frames"] = _media_frames
+
     # --- embeddings: similarity search ---
     q["embedding_topk"] = lambda s, d: (
         cosine_top_k(
@@ -990,6 +1027,43 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(nb AS BIGINT), CAST(16 + nb % 64 AS INT), "
         "  CAST(16 + (nb // 64) % 64 AS INT) FROM n WHERE doc_id % 3 = 2) "
         "SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid"
+    )
+
+    # media_resized twin: resized pixel (i,j,k) = source pixel at file row
+    # ys=(i*h)//16, byte col xs*3+k — source pixel bytes cycle the utf-8
+    # seed over the stride-padded flat layout, so each byte is
+    # ascii(text[(ys*stride + xs*3 + k) mod L]); greatest(L,1) guards the
+    # vectorized modulo for empty docs (CASE still yields 0 there)
+    o["media_resized"] = (
+        "WITH g AS (SELECT doc_id, text, length(text) AS L, "
+        "  8 + (length(text) % 9) AS w, 4 + (length(text) % 5) AS h "
+        "  FROM documents WHERE doc_id % 3 = 0), "
+        "g2 AS (SELECT *, w * 3 + ((4 - ((w * 3) % 4)) % 4) AS stride FROM g), "
+        "grid AS (SELECT doc_id, text, L, w, h, stride, i.i, j.j, k.k "
+        "  FROM g2, (SELECT unnest(range(0, 16)) AS i) i, "
+        "           (SELECT unnest(range(0, 16)) AS j) j, "
+        "           (SELECT unnest(range(0, 3)) AS k) k), "
+        "px AS (SELECT doc_id, CASE WHEN L = 0 THEN 0 ELSE "
+        "  ascii(substr(text, CAST((((i * h) // 16) * stride "
+        "    + ((j * w) // 16) * 3 + k) % greatest(L, 1) AS INT) + 1, 1)) "
+        "  END AS b FROM grid) "
+        "SELECT 'm_' || CAST(doc_id AS VARCHAR) AS media_id, "
+        "CAST(16 AS INT) AS width, CAST(16 AS INT) AS height, "
+        "CAST(822 AS BIGINT) AS n_bytes, CAST(sum(b) AS BIGINT) AS px_sum "
+        "FROM px GROUP BY doc_id"
+    )
+
+    # media_frames twin: 4 equal-size frames (rotation preserves length),
+    # sampled indices 0 and 2
+    o["media_frames"] = (
+        "WITH v AS (SELECT doc_id, length(text) AS nb FROM documents "
+        "           WHERE doc_id % 3 = 2), "
+        "sz AS (SELECT doc_id, CAST(54 + ((8 + nb % 9) * 3 "
+        "  + ((4 - ((8 + nb % 9) * 3) % 4) % 4)) * (4 + nb % 5) AS BIGINT) "
+        "  AS fsz FROM v) "
+        "SELECT 'm_' || CAST(doc_id AS VARCHAR) AS media_id, "
+        "CAST(f.i AS INT) AS frame_idx, CAST(4 AS INT) AS n_frames, "
+        "fsz AS n_bytes FROM sz, (VALUES (0), (2)) AS f(i)"
     )
 
     from liblevenshtein_rust_spark.functions.canonicalize import ZOMPIST_RULES

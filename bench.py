@@ -55,8 +55,12 @@ def _spark(cores: str):
                      extra_conf={"spark.ui.enabled": "false",
                                  "spark.driver.memory": "24g",
                                  "spark.local.dir": local_dir,
-                                 "spark.sql.shuffle.partitions": str(max(int(cores) * 2, 8))
-                                 if cores.isdigit() else "64"})
+                                 # uniform across legs: on a real cluster the
+                                 # shuffle partition count is sized to the DATA and
+                                 # held constant while executors scale N -> 4N (AQE
+                                 # coalesces); tying it to cores would hand the
+                                 # small leg artificially cheap per-partition overhead
+                                 "spark.sql.shuffle.partitions": "64"})
 
 
 def _warmup(spark, em) -> None:
@@ -179,6 +183,15 @@ def _amplified_terms(spark, sf_dir: str, k: int):
 def run_scale_job(cores: str, k: int = 192) -> None:
     from liblevenshtein_rust_spark.operators.fuzzy_join import (
         build_dictionary, fuzzy_self_join)
+    # Pin this leg (driver + forthcoming JVM + Python workers inherit the
+    # affinity mask) to exactly N cores: an N-core executor on a real
+    # cluster cannot exceed its allotment, but an unpinned local[N] JVM
+    # runs GC/netty/py4j background threads on EXTRA cores, overstating
+    # the small leg's throughput and understating scaling efficiency.
+    try:
+        os.sched_setaffinity(0, set(range(int(cores))))
+    except (AttributeError, ValueError, OSError):
+        pass  # non-Linux or cores > machine: run unpinned
     spark = _spark(cores)
     # untimed setup: materialize the synthetic corpus (the system under
     # test is the linkage job, not the generator)
@@ -298,7 +311,10 @@ Flagship linkage job (canonicalize -> distinct-term dictionary ->
 segment-blocked fuzzy self-join at d<=1 -> exact threshold-verify) over a
 {r8['turns']}-turn synthetic transcript corpus (realistic near-dup mix:
 distinct rotated utterances + planted distance-1 pairs), identical input
-at three parallelism levels. Steady-state wall time (one warmup run per
+at three parallelism levels, each leg CPU-pinned (sched_setaffinity) to
+exactly N cores — an unpinned local[N] JVM runs GC/netty/py4j background
+threads on extra cores, overstating the small leg like no real N-core
+executor can. Steady-state wall time (one warmup run per
 JVM — on a real cluster codegen/JIT are paid once per long-lived
 executor); determinism confirmed by identical pair counts at every level.
 

@@ -246,14 +246,17 @@ def wav_payload(seed: bytes, rate: int = 8000) -> bytes:
 
 
 def synth_media(spark, docs: DataFrame, *, id_col: str = "doc_id",
-                text_col: str = "text", real_payloads: bool = False) -> DataFrame:
+                text_col: str = "text", real_payloads: bool = False,
+                video_frames: int | None = None) -> DataFrame:
     """Deterministic media table derived from documents; kind cycles
     image/audio/video, metadata carries provenance.
 
     ``real_payloads=True`` assembles actual format bytes — BMP for
-    images, PCM WAV for audio (decodable by ``decoder="auto"``); video
-    stays an opaque blob (no library-free video container), exercising
-    the NotImplementedError codec seam. False keeps raw utf-8 bytes."""
+    images, PCM WAV for audio (decodable by ``decoder="auto"``). Video:
+    by default an opaque blob (exercising the NotImplementedError codec
+    seam); with ``video_frames=k`` a concatenated-BMP 'motion-BMP'
+    container of k frames (see mbmp_payload) that sample_frames can walk.
+    False keeps raw utf-8 bytes."""
     kind = (
         F.when(F.col(id_col) % 3 == 0, "image")
         .when(F.col(id_col) % 3 == 1, "audio")
@@ -278,6 +281,8 @@ def synth_media(spark, docs: DataFrame, *, id_col: str = "doc_id",
                     out.append(bmp_payload(b))
                 elif k == "audio":
                     out.append(wav_payload(b))
+                elif video_frames:
+                    out.append(mbmp_payload(b, video_frames))
                 else:
                     out.append(b)
             pdf = pdf.copy()
@@ -285,3 +290,160 @@ def synth_media(spark, docs: DataFrame, *, id_col: str = "doc_id",
             yield pdf
 
     return base.mapInPandas(_assemble, schema=MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_bytes", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def _bmp_grid(b: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bpp BMP into an (h, w, 3) uint8 array
+    (file row order, i.e. bottom-up — callers that only re-encode do not
+    need the vertical flip)."""
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = abs(int.from_bytes(b[22:26], "little", signed=True))
+    bpp = int.from_bytes(b[28:30], "little")
+    if bpp != 24:
+        raise NotImplementedError(f"{bpp}-bpp BMP resize needs a codec")
+    stride = (w * 3 + 3) & ~3
+    px = np.frombuffer(b, dtype=np.uint8, offset=off, count=stride * h)
+    return px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+
+
+def _bmp_encode(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> uncompressed 24-bpp BMP bytes (same header
+    layout as bmp_payload)."""
+    h, w = img.shape[0], img.shape[1]
+    row = w * 3
+    stride = row + ((-row) % 4)
+    buf = np.zeros((h, stride), dtype=np.uint8)
+    buf[:, :row] = img.reshape(h, row)
+    px = buf.tobytes()
+    header = (
+        b"BM" + (54 + len(px)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(px).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + b"\x00" * 8
+    )
+    return header + px
+
+
+def _resize_nn(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample via numpy fancy indexing — the
+    vectorized grid math a real resampler (Pillow/cv2) would replace."""
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int, *,
+                  id_col: str = "media_id") -> DataFrame:
+    """Resize every image payload to (out_w, out_h) — REAL nearest-
+    neighbor resampling over decoded BMP pixel grids, re-encoded as BMP.
+
+    Output: (media_id, width, height, n_bytes, payload). Non-BMP image
+    formats raise through the ``_decode_one`` codec seam contract (plug
+    Pillow here). Scale shape: one mapInPandas stage, per-row numpy grid
+    ops (the per-payload loop is inherent — image geometry varies row to
+    row — all pixel math is vectorized numpy)."""
+    out_w, out_h = int(out_w), int(out_h)
+    imgs = media.where(F.col("kind") == "image")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else b""
+                if b[:2] != b"BM":
+                    raise NotImplementedError(
+                        "non-BMP image resize needs a codec library "
+                        f"(magic={b[:2]!r}); plug Pillow into resize_images")
+                payloads.append(_bmp_encode(_resize_nn(_bmp_grid(b), out_w, out_h)))
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "width": np.full(len(pdf), out_w, dtype=np.int32),
+                "height": np.full(len(pdf), out_h, dtype=np.int32),
+                "n_bytes": np.fromiter((len(x) for x in payloads),
+                                       dtype=np.int64, count=len(payloads)),
+                "payload": payloads,
+            })
+
+    return imgs.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def mbmp_payload(seed: bytes, n_frames: int = 4) -> bytes:
+    """Deterministic 'motion-BMP' video payload: ``n_frames`` concatenated
+    BMP frames, frame i built from the seed rotated by i bytes. An honest
+    uncompressed container — every frame is independently decodable — so
+    the frame-sampling plumbing is real; compressed containers (MP4...)
+    hit the codec seam in sample_frames."""
+    seed = seed or b"\x00"
+    return b"".join(
+        bmp_payload(seed[i % len(seed):] + seed[: i % len(seed)])
+        for i in range(n_frames))
+
+
+def sample_frames(media: DataFrame, *, every: int = 2,
+                  id_col: str = "media_id") -> DataFrame:
+    """Sample every ``every``-th frame from video payloads: one output row
+    per kept frame, payload = that frame's standalone BMP bytes.
+
+    Frames are located by walking the concatenated-BMP container (each
+    BMP header carries its own file size at bytes 2:6). Non-BMP-prefixed
+    video raises at the codec seam (plug ffmpeg here). Scale shape: a
+    wide row fans out to narrower frame rows inside one mapInPandas
+    stage — no shuffle; downstream repartition rebalances if frame counts
+    skew."""
+    every = max(int(every), 1)
+    vids = media.where(F.col("kind") == "video")
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, frames = [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                if b[:2] != b"BM":
+                    raise NotImplementedError(
+                        "video container not decodable without a codec "
+                        f"library (magic={b[:2]!r}); plug ffmpeg into "
+                        "sample_frames")
+                bounds = []
+                pos = 0
+                while pos + 6 <= len(b) and b[pos:pos + 2] == b"BM":
+                    sz = int.from_bytes(b[pos + 2:pos + 6], "little")
+                    if sz <= 0 or pos + sz > len(b):
+                        break
+                    bounds.append((pos, sz))
+                    pos += sz
+                n = len(bounds)
+                for i in range(0, n, every):
+                    s, sz = bounds[i]
+                    ids.append(mid)
+                    idxs.append(i)
+                    totals.append(n)
+                    frames.append(b[s:s + sz])
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="object"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "n_frames": pd.Series(totals, dtype="int32"),
+                "payload": pd.Series(frames, dtype="object"),
+            })
+
+    return vids.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from liblevenshtein_rust_spark.operators.multimodal import (
     FEATURE_DIM,
     FEATURES_SCHEMA,
+    MEDIA_SCHEMA,
     featurize_media,
     synth_media,
 )
@@ -115,3 +116,64 @@ def test_features_feed_ann(spark, media):
     for r in top.where(F.col("rank") == 1).collect():
         assert r.q_id == r.c_id
     assert len(got) == 9
+
+
+def test_resize_images_geometry_and_pixels(spark):
+    from liblevenshtein_rust_spark.operators.multimodal import (
+        _bmp_grid, _resize_nn, bmp_payload, resize_images)
+
+    rows = [("m_1", "image", bmp_payload(b"some pixel source"), {}),
+            ("m_2", "image", bmp_payload(b"a much longer pixel seed text"), {}),
+            ("m_3", "audio", b"RIFF....WAVE", {})]
+    m = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(m, 16, 16).collect()}
+    assert set(out) == {"m_1", "m_2"}          # only images
+    for mid, payload, _ in [("m_1", rows[0][2], 0), ("m_2", rows[1][2], 0)]:
+        r = out[mid]
+        assert (r["width"], r["height"]) == (16, 16)
+        got = _bmp_grid(bytes(r["payload"]))
+        expect = _resize_nn(_bmp_grid(payload), 16, 16)
+        assert (got == expect).all()           # byte-exact resample
+        assert r["n_bytes"] == len(bytes(r["payload"]))
+
+
+def test_resize_same_size_is_identity(spark):
+    from liblevenshtein_rust_spark.operators.multimodal import (
+        _bmp_grid, bmp_payload, resize_images)
+    p = bmp_payload(b"identity check")
+    g = _bmp_grid(p)
+    h, w = g.shape[0], g.shape[1]
+    m = spark.createDataFrame([("m", "image", p, {})], MEDIA_SCHEMA)
+    r = resize_images(m, w, h).collect()[0]
+    assert (_bmp_grid(bytes(r["payload"])) == g).all()
+
+
+def test_sample_frames_walks_container(spark):
+    from liblevenshtein_rust_spark.operators.multimodal import (
+        _bmp_grid, bmp_payload, mbmp_payload, sample_frames)
+    seed = b"rotating frame seed"
+    m = spark.createDataFrame(
+        [("v_1", "video", mbmp_payload(seed, 5), {}),
+         ("v_2", "video", mbmp_payload(seed, 1), {}),
+         ("i_1", "image", bmp_payload(seed), {})], MEDIA_SCHEMA)
+    got = sample_frames(m, every=2).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {"v_1", "v_2"}        # only video
+    v1 = sorted(by_id["v_1"], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in v1] == [0, 2, 4]
+    assert all(r["n_frames"] == 5 for r in v1)
+    # frame 2's pixels = bmp of the seed rotated by 2
+    rot2 = seed[2:] + seed[:2]
+    from liblevenshtein_rust_spark.operators.multimodal import bmp_payload as bp
+    assert bytes(v1[1]["payload"]) == bp(rot2)
+    assert [r["frame_idx"] for r in by_id["v_2"]] == [0]
+
+
+def test_sample_frames_codec_seam(spark):
+    from liblevenshtein_rust_spark.operators.multimodal import sample_frames
+    m = spark.createDataFrame(
+        [("v", "video", b"\x00\x00\x01\xba mpeg-ps", {})], MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="codec"):
+        sample_frames(m, every=2).collect()
