@@ -317,6 +317,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["lang_pred"] = lambda s, d: _docs(s, d).select(
         "doc_id", lang_id("text").alias("lang_pred"))
+
+    # composite quality gate (C4/Gopher-style): integer milli-ratios +
+    # keep/drop verdict, pure codegen expressions
+    def _doc_quality(s, d):
+        from liblevenshtein_rust_spark.functions.text import quality_score
+        return quality_score(_docs(s, d))
+    q["doc_quality"] = _doc_quality
     q["doc_fingerprint"] = lambda s, d: _docs(s, d).select(
         "doc_id", fingerprint("text").alias("fp"))
     q["exact_dedup_docs"] = lambda s, d: exact_dedup(_docs(s, d))
@@ -787,6 +794,23 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(len(list_filter(string_split({_canon_doc}, ' '), "
         f"w -> w IN ({_SQL_STOPWORDS}))) AS INT) AS n_stop "
         "FROM documents"
+    )
+    o["doc_quality"] = (
+        "WITH c AS (SELECT doc_id, length(text) AS n_chars, "
+        f"  CAST(CASE WHEN length({_canon_doc}) = 0 THEN 0 "
+        f"  ELSE len(string_split({_canon_doc}, ' ')) END AS INT) AS n_tokens, "
+        f"  len(list_filter(string_split({_canon_doc}, ' '), "
+        f"      w -> w IN ({_SQL_STOPWORDS}))) AS n_stop, "
+        "   length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) "
+        "     AS n_punct "
+        "  FROM documents), "
+        "r AS (SELECT doc_id, n_tokens, "
+        "  CAST((1000 * n_stop) // greatest(n_tokens, 1) AS INT) AS stop_milli, "
+        "  CAST((1000 * n_punct) // greatest(n_chars, 1) AS INT) AS punct_milli "
+        "  FROM c) "
+        "SELECT doc_id, n_tokens, stop_milli, punct_milli, "
+        "(n_tokens >= 5 AND punct_milli <= 200 AND stop_milli >= 20) AS keep "
+        "FROM r"
     )
     o["lang_pred"] = (
         f"SELECT doc_id, CASE WHEN len(list_filter(string_split({_canon_doc}, ' '), "

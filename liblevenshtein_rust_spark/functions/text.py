@@ -68,3 +68,32 @@ def quality_counts(df, id_col: str = "doc_id", text_col: str = "text"):
         punct_count(text_col).alias("n_punct"),
         digit_count(text_col).alias("n_digit"),
     )
+
+
+def quality_score(df, id_col: str = "doc_id", text_col: str = "text", *,
+                  min_tokens: int = 5, max_punct_milli: int = 200,
+                  min_stop_milli: int = 20):
+    """Composite document-quality gate (the C4/Gopher-style rule family):
+    integer milli-ratios (floor division — float-free, oracle-exact) plus
+    a keep/drop verdict.
+
+    keep = n_tokens >= min_tokens
+           AND punct_milli <= max_punct_milli   (punctuation density)
+           AND stop_milli >= min_stop_milli     (stopword density — a
+           natural-language-ness signal; gibberish and code score ~0).
+
+    Output: (id_col, n_tokens, stop_milli, punct_milli, keep). All column
+    expressions, whole-stage codegen."""
+    q = quality_counts(df, id_col, text_col)
+    q = q.select(
+        id_col, "n_tokens",
+        F.expr("CAST(1000 * n_stop DIV greatest(n_tokens, 1) AS INT)")
+        .alias("stop_milli"),
+        F.expr("CAST(1000 * n_punct DIV greatest(n_chars, 1) AS INT)")
+        .alias("punct_milli"),
+    )
+    return q.withColumn(
+        "keep",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_milli") <= max_punct_milli)
+        & (F.col("stop_milli") >= min_stop_milli))
