@@ -62,6 +62,41 @@ def main(argv: list[str] | None = None) -> int:
     ip = sub.add_parser("info", help="dictionary/corpus stats")
     ip.add_argument("--dict", required=True)
 
+    # dictionary maintenance — the reference CLI's Convert / Insert /
+    # Delete / Clear / Minimize commands (src/cli/args.rs:109-200), with
+    # serialization formats mapped to text/parquet/json/csv tables
+    cv = sub.add_parser("convert", help="convert a dictionary between formats")
+    cv.add_argument("--input", required=True)
+    cv.add_argument("--output", required=True)
+    cv.add_argument("--in-format", default=None,
+                    choices=[None, "text", "parquet", "json", "csv"])
+    cv.add_argument("--out-format", default=None,
+                    choices=[None, "text", "parquet", "json", "csv"])
+
+    for name, hlp in (("insert", "insert terms into a dictionary"),
+                      ("delete", "delete terms from a dictionary")):
+        mp = sub.add_parser(name, help=hlp)
+        mp.add_argument("terms", nargs="+")
+        mp.add_argument("--dict", required=True)
+        mp.add_argument("--format", default=None)
+
+    cl = sub.add_parser("clear", help="remove all terms from a dictionary")
+    cl.add_argument("--dict", required=True)
+    cl.add_argument("--format", default=None)
+
+    mn = sub.add_parser("minimize",
+                        help="compact a dictionary table (small-file "
+                             "compaction — the DynamicDawg minimize analog)")
+    mn.add_argument("--dict", required=True)
+    mn.add_argument("--target-files", type=int, default=1)
+
+    rp = sub.add_parser("repl", help="interactive query/insert/delete loop")
+    rp.add_argument("--dict", required=True)
+    rp.add_argument("--max-distance", type=int, default=2)
+    rp.add_argument("--variant", default="standard")
+    rp.add_argument("--auto-sync", action="store_true",
+                    help="write the dictionary back after every mutation")
+
     args = p.parse_args(argv)
 
     from liblevenshtein_rust_spark.session import get_spark
@@ -124,7 +159,121 @@ def main(argv: list[str] | None = None) -> int:
         d = load_wordlist(spark, args.dict)
         print(json.dumps({"terms": d.count()}))
         return 0
+
+    if args.cmd == "convert":
+        df = _read_dict(spark, args.input, args.in_format)
+        _write_dict(df, args.output, args.out_format)
+        print(json.dumps({"terms": df.count(), "output": args.output}))
+        return 0
+
+    if args.cmd in ("insert", "delete", "clear"):
+        from pyspark.sql import functions as F
+        d = _read_dict(spark, args.dict, args.format)
+        if args.cmd == "insert":
+            new = spark.createDataFrame([(t,) for t in args.terms], ["term"])
+            d = d.unionByName(new).dropDuplicates(["term"])
+        elif args.cmd == "delete":
+            gone = spark.createDataFrame([(t,) for t in args.terms], ["term"])
+            d = d.join(gone, "term", "left_anti")
+        else:
+            d = d.where(F.lit(False))
+        # materialize BEFORE overwriting the path we just read
+        d = d.localCheckpoint(eager=True)
+        _write_dict(d, args.dict, args.format)
+        print(json.dumps({"terms": d.count()}))
+        return 0
+
+    if args.cmd == "minimize":
+        d = _read_dict(spark, args.dict, None).localCheckpoint(eager=True)
+        _write_dict(d.coalesce(max(args.target_files, 1)), args.dict, None)
+        print(json.dumps({"terms": d.count(), "files": args.target_files}))
+        return 0
+
+    if args.cmd == "repl":
+        return _repl(spark, args)
     return 1
+
+
+def _sniff_format(path: str, fmt: str | None) -> str:
+    if fmt:
+        return fmt
+    for ext, f in ((".parquet", "parquet"), (".json", "json"),
+                   (".csv", "csv")):
+        if path.rstrip("/").endswith(ext):
+            return f
+    return "text"
+
+
+def _read_dict(spark, path: str, fmt: str | None):
+    """One term per row, column ``term`` — text (newline-delimited, the
+    reference's plaintext format), parquet, json, or csv."""
+    from pyspark.sql import functions as F
+    fmt = _sniff_format(path, fmt)
+    if fmt == "text":
+        return (spark.read.text(path)
+                .select(F.trim("value").alias("term"))
+                .where(F.length("term") > 0))
+    if fmt == "csv":
+        return spark.read.option("header", "true").csv(path).select("term")
+    return getattr(spark.read, fmt)(path).select("term")
+
+
+def _write_dict(df, path: str, fmt: str | None) -> None:
+    fmt = _sniff_format(path, fmt)
+    w = df.select("term").write.mode("overwrite")
+    if fmt == "text":
+        w.text(path)
+    elif fmt == "csv":
+        w.option("header", "true").csv(path)
+    else:
+        getattr(w, fmt)(path)
+
+
+def _repl(spark, args) -> int:
+    """Interactive loop — the reference's REPL commands (query/insert/
+    delete/info/help/quit, src/cli/repl.rs) over a session dictionary.
+    Mutations touch the in-memory dictionary; ``--auto-sync`` mirrors the
+    reference's auto-save by writing back after every mutation."""
+    from pyspark.sql import functions as F
+    from liblevenshtein_rust_spark.operators.fuzzy_join import fuzzy_join
+
+    d = _read_dict(spark, args.dict, None).localCheckpoint(eager=True)
+    print(f"loaded {d.count()} terms; commands: "
+          "query <term> [n] | insert <term...> | delete <term...> | "
+          "info | quit", flush=True)
+    for line in sys.stdin:
+        parts = line.strip().split()
+        if not parts:
+            continue
+        cmd, rest = parts[0], parts[1:]
+        if cmd in ("quit", "exit"):
+            break
+        if cmd == "info":
+            print(json.dumps({"terms": d.count()}), flush=True)
+        elif cmd == "query" and rest:
+            n = int(rest[1]) if len(rest) > 1 else args.max_distance
+            q = spark.createDataFrame([(rest[0], rest[0])], ["q_id", "q_text"])
+            m = fuzzy_join(q, d.withColumn("term_id", F.col("term")),
+                           n=n, variant=args.variant)
+            for r in m.orderBy("distance", "term").collect():
+                print(f"{r.term}\t{r.distance}", flush=True)
+        elif cmd == "insert" and rest:
+            new = spark.createDataFrame([(t,) for t in rest], ["term"])
+            d = d.unionByName(new).dropDuplicates(["term"]) \
+                .localCheckpoint(eager=True)
+            if args.auto_sync:
+                _write_dict(d, args.dict, None)
+            print(json.dumps({"terms": d.count()}), flush=True)
+        elif cmd == "delete" and rest:
+            gone = spark.createDataFrame([(t,) for t in rest], ["term"])
+            d = d.join(gone, "term", "left_anti").localCheckpoint(eager=True)
+            if args.auto_sync:
+                _write_dict(d, args.dict, None)
+            print(json.dumps({"terms": d.count()}), flush=True)
+        else:
+            print("commands: query <term> [n] | insert <term...> | "
+                  "delete <term...> | info | quit", flush=True)
+    return 0
 
 
 if __name__ == "__main__":

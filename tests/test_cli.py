@@ -49,3 +49,55 @@ def test_cli_pipeline(spark, tmp_path, capsys):
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "clusters" in info
     assert os.path.exists(os.path.join(ck, "cli1", "turn_entities", "_SUCCESS"))
+
+
+def test_cli_convert_roundtrip(spark, tmp_path, capsys):
+    from liblevenshtein_rust_spark.cli import main
+
+    src = tmp_path / "dict.txt"
+    src.write_text("alpha\nbeta\ngamma\n")
+    pq = str(tmp_path / "dict.parquet")
+    assert main(["convert", "--input", str(src), "--output", pq]) == 0
+    assert json.loads(capsys.readouterr().out)["terms"] == 3
+    back = str(tmp_path / "back.txt")
+    assert main(["convert", "--input", pq, "--output", back,
+                 "--out-format", "text"]) == 0
+    capsys.readouterr()
+    got = set()
+    for f in os.listdir(back):
+        if f.startswith("part-"):
+            got |= set((tmp_path / "back.txt" / f).read_text().split())
+    assert got == {"alpha", "beta", "gamma"}
+
+
+def test_cli_insert_delete_clear_minimize(spark, tmp_path, capsys):
+    from liblevenshtein_rust_spark.cli import main
+
+    d = str(tmp_path / "d.parquet")
+    spark.createDataFrame([("one",), ("two",)], ["term"]).write.parquet(d)
+    assert main(["insert", "three", "two", "--dict", d]) == 0
+    assert json.loads(capsys.readouterr().out)["terms"] == 3  # dedup
+    assert main(["delete", "one", "missing", "--dict", d]) == 0
+    assert json.loads(capsys.readouterr().out)["terms"] == 2
+    assert main(["minimize", "--dict", d, "--target-files", "1"]) == 0
+    assert json.loads(capsys.readouterr().out)["terms"] == 2
+    parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(parts) == 1                       # compacted to one file
+    assert main(["clear", "--dict", d]) == 0
+    assert json.loads(capsys.readouterr().out)["terms"] == 0
+
+
+def test_cli_repl(spark, tmp_path, capsys, monkeypatch):
+    import io
+
+    from liblevenshtein_rust_spark.cli import main
+
+    d = tmp_path / "dict.txt"
+    d.write_text("table\nstream\n")
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        "query tble 1\ninsert window\ninfo\ndelete stream\ninfo\nquit\n"))
+    assert main(["repl", "--dict", str(d)]) == 0
+    out = capsys.readouterr().out
+    assert "table\t1" in out                     # query hit
+    assert '{"terms": 3}' in out                 # after insert
+    assert '{"terms": 2}' in out                 # after delete
