@@ -42,6 +42,8 @@ HEADLINE = [
     "embedding_topk",
     "token_stats",
     "substring_fuzzy_d1",
+    "near_dup_dedup_docs",
+    "doc_quality",
 ]
 
 
@@ -102,11 +104,17 @@ def run_default() -> None:
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
         cold_dt = time.time() - t0
-        spark.catalog.clearCache()
-        gc.collect()
-        t0 = time.time()
-        qs[name](spark, SF_DIR).count()
-        dt = time.time() - t0
+        # steady = best of two isolated post-cold runs: single steady
+        # runs proved bimodal across bench invocations (same query 5.4s
+        # vs 21.5s) from JVM GC/JIT luck; min-of-2 is the standard
+        # noise-damping for warm micro-benchmarks
+        dt = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            gc.collect()
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            dt = min(dt, time.time() - t0)
         timings[name] = round(dt, 3)
         cold[name] = round(cold_dt, 3)
         total += dt
