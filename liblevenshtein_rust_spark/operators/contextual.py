@@ -63,6 +63,7 @@ def visible_contexts(tree: DataFrame, *, id_col: str = "context_id",
     closure = ck(closure)
     prev = closure.count()
     rounds = max(1, math.ceil(math.log2(max(max_depth, 2))) + 1)
+    converged = False
     for _ in range(rounds):
         a, b = closure.alias("a"), closure.alias("b")
         grown = (
@@ -74,8 +75,15 @@ def visible_contexts(tree: DataFrame, *, id_col: str = "context_id",
                      .dropDuplicates([id_col, "visible_id"]))
         cnt = closure.count()
         if cnt == prev:
+            converged = True
             break
         prev = cnt
+    if not converged:
+        # a silently truncated closure would drop visibility of upper
+        # ancestors for deep scopes — fail loudly instead
+        raise ValueError(
+            f"visible_contexts did not converge within {rounds} rounds "
+            f"(tree deeper than max_depth={max_depth}? raise max_depth)")
     x, y = closure.alias("x"), closure.alias("y")
     mutual = x.join(
         y, (F.col(f"x.{id_col}") == F.col("y.visible_id")) &
@@ -126,6 +134,7 @@ def scoped_complete(
     term_ctx: str = "context_id",
     draft_col: str = "draft",
     draft_ctx: str = "context_id",
+    max_depth: int = 64,
 ) -> DataFrame:
     """``engine.complete()`` as a DataFrame operator.
 
@@ -141,7 +150,7 @@ def scoped_complete(
     (distance, is_draft, term) to match Completion::cmp."""
     vis = visible_contexts(
         tree.select(F.col("context_id").alias("_vctx"), F.col("parent_id")),
-        id_col="_vctx", parent_col="parent_id")
+        id_col="_vctx", parent_col="parent_id", max_depth=max_depth)
     qv = queries.select(F.col(q_id).alias("_qid"), F.col(q_text).alias("_q"),
                         F.col(q_ctx).alias("_qctx")) \
         .join(vis, F.col("_qctx") == F.col("_vctx")) \

@@ -92,12 +92,20 @@ def _candidates_from_keys(left_keys: DataFrame, right_keys: DataFrame,
     return pairs.dropDuplicates(["_ida", "_idb"])
 
 
+def _attach_texts(pairs: DataFrame, left: DataFrame, right: DataFrame,
+                  l_id: str, l_text: str, r_id: str, r_text: str) -> DataFrame:
+    """Join the (_ida, _idb) candidate pairs back to their texts as
+    (_ta, _tb) — the shared candidate-to-verify plumbing of every join
+    variant in this module."""
+    lt = left.select(F.col(l_id).alias("_ida"), F.col(l_text).alias("_ta")).dropDuplicates(["_ida"])
+    rt = right.select(F.col(r_id).alias("_idb"), F.col(r_text).alias("_tb")).dropDuplicates(["_idb"])
+    return pairs.join(lt, "_ida").join(rt, "_idb")
+
+
 def _score_pairs(pairs: DataFrame, left: DataFrame, right: DataFrame,
                  l_id: str, l_text: str, r_id: str, r_text: str,
                  n: int, variant: str, subst=None) -> DataFrame:
-    lt = left.select(F.col(l_id).alias("_ida"), F.col(l_text).alias("_ta")).dropDuplicates(["_ida"])
-    rt = right.select(F.col(r_id).alias("_idb"), F.col(r_text).alias("_tb")).dropDuplicates(["_idb"])
-    with_text = pairs.join(lt, "_ida").join(rt, "_idb")
+    with_text = _attach_texts(pairs, left, right, l_id, l_text, r_id, r_text)
     # cheap JVM-side prefilter before the (Arrow) scoring kernel: every
     # variant changes length by at most 1 per edit
     with_text = with_text.where(
@@ -308,12 +316,8 @@ def fuzzy_prefix_join(
     ).dropDuplicates(["_bid", "_bkey"])
     qk = _explode_keys(queries, q_id, q_text, deletion_keys(q_text, depth))
     pairs = _candidates_from_keys(qk, dk, self_join=False)
-
-    lt = queries.select(F.col(q_id).alias("_ida"), F.col(q_text).alias("_ta")) \
-        .dropDuplicates(["_ida"])
-    rt = dictionary.select(F.col(d_id).alias("_idb"), F.col(d_text).alias("_tb")) \
-        .dropDuplicates(["_idb"])
-    with_text = pairs.join(lt, "_ida").join(rt, "_idb").where(
+    with_text = _attach_texts(pairs, queries, dictionary,
+                              q_id, q_text, d_id, d_text).where(
         F.length("_ta") - F.length("_tb") <= F.lit(n))
     # truncate the term JVM-side so Arrow never ships more than |q|+n chars
     with_text = with_text.withColumn(
@@ -429,11 +433,8 @@ def weighted_fuzzy_join(
     dk = _keys_for(dictionary, d_id, d_text, n_env, variant, method,
                    role="index")
     pairs = _candidates_from_keys(qk, dk, self_join=False)
-    lt = queries.select(F.col(q_id).alias("_ida"),
-                        F.col(q_text).alias("_ta")).dropDuplicates(["_ida"])
-    rt = dictionary.select(F.col(d_id).alias("_idb"),
-                           F.col(d_text).alias("_tb")).dropDuplicates(["_idb"])
-    with_text = pairs.join(lt, "_ida").join(rt, "_idb")
+    with_text = _attach_texts(pairs, queries, dictionary,
+                              q_id, q_text, d_id, d_text)
     # JVM prefilters before the Arrow kernel: a length delta of k costs
     # >= k * min(insert, delete); and the unit envelope bounds the plain
     # Levenshtein distance (early-abort codegen check, -1 above bound).

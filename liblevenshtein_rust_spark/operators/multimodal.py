@@ -394,10 +394,16 @@ def mbmp_payload(seed: bytes, n_frames: int = 4) -> bytes:
     uncompressed container — every frame is independently decodable — so
     the frame-sampling plumbing is real; compressed containers (MP4...)
     hit the codec seam in sample_frames."""
-    seed = seed or b"\x00"
-    return b"".join(
-        bmp_payload(seed[i % len(seed):] + seed[: i % len(seed)])
-        for i in range(n_frames))
+    def _rot(i: int) -> bytes:
+        # keep the ORIGINAL seed (even empty) so every frame gets the same
+        # geometry bmp_payload derives from len(seed) — substituting a
+        # placeholder here would silently change w/h for empty seeds
+        if not seed:
+            return seed
+        j = i % len(seed)
+        return seed[j:] + seed[:j]
+
+    return b"".join(bmp_payload(_rot(i)) for i in range(n_frames))
 
 
 def sample_frames(media: DataFrame, *, every: int = 2,

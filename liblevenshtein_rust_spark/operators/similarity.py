@@ -91,6 +91,8 @@ def _train_centroids(corpus: DataFrame, c_vec: str, n_centroids: int,
     """
     rows = (corpus.orderBy(c_id).limit(sample_limit)
             .select(c_vec).collect())
+    if not rows:
+        return None   # empty corpus: caller returns an empty result
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -122,6 +124,13 @@ def cosine_top_k_ivf(queries: DataFrame, corpus: DataFrame, k: int,
     recall < 1 by design (cell-boundary misses).
     """
     C = _train_centroids(corpus, c_vec, n_centroids, seed, sample_limit, c_id)
+    if C is None:
+        # empty corpus: same graceful empty result cosine_top_k produces
+        # (c_id keeps the corpus column's type)
+        return (queries.crossJoin(corpus.select(c_id))
+                .select(F.col(q_id), F.lit(1).alias("rank"), F.col(c_id),
+                        F.lit(0.0).alias("sim"))
+                .where(F.lit(False)))
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<int>")

@@ -170,8 +170,10 @@ def fuzzy_substring_join(
         sp = (
             F.broadcast(shorts.select("_qid"))
             .crossJoin(ds.select("_did", F.length("_t").alias("_lt")))
+            # empty docs have no non-empty substring -> no probes
+            .where(F.col("_lt") >= 1)
             .select("_qid", "_did",
-                    F.explode(F.sequence(F.lit(1), F.greatest("_lt", F.lit(1)))).alias("pos"))
+                    F.explode(F.sequence(F.lit(1), F.col("_lt"))).alias("pos"))
         )
         probes = sp if probes is None else probes.unionByName(sp)
 
@@ -188,9 +190,12 @@ def fuzzy_substring_join(
     thr = 2 * n if variant == STANDARD else 3 * n
     with_text = (
         probes.join(qs, "_qid").join(ds, "_did")
-        # a window can only reach distance <= n if pos is in range and at
-        # least m-n chars remain
+        # a window can only reach distance <= n if pos is in range, at
+        # least m-n chars remain, AND the window is non-empty (dp is a min
+        # over widths w >= 1; when m <= n the m-n bound is vacuous and the
+        # pos <= len guard is what excludes width-0 windows)
         .where((F.col("pos") >= 1) &
+               (F.col("pos") <= F.length("_t")) &
                (F.col("pos") <= F.length("_t") - (F.length("_q") - n) + 1))
         .where(F.expr(
             f"levenshtein(_q, substring(_t, pos, length(_q)), {thr}) >= 0"))
@@ -198,8 +203,15 @@ def fuzzy_substring_join(
         .withColumn("_w", F.expr(f"substring(_t, pos, length(_q) + {n})"))
     )
     pdist = make_prefix_distance_udf(n, variant)
+    # the prefix kernel's min includes the width-0 window (distance m);
+    # for m >= 1 over a non-empty window that never undercuts the w >= 1
+    # minimum (d(q, c) <= m always), so only m == 0 needs correcting:
+    # min over w >= 1 of d("", T[p:p+w]) = 1, not the kernel's 0
     scored = (
-        with_text.withColumn("distance", pdist(F.col("_q"), F.col("_w")))
+        with_text.withColumn(
+            "distance",
+            F.when(F.length("_q") == 0, F.lit(1))
+            .otherwise(pdist(F.col("_q"), F.col("_w"))))
         .where(F.col("distance") <= n)
     )
     if all_positions:

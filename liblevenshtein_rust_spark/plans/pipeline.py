@@ -198,8 +198,12 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
     metrics.write.mode("overwrite").parquet(
         os.path.join(cfg.checkpoint_dir, cfg.run_id, "_metrics"))
 
-    with open(os.path.join(cfg.checkpoint_dir, cfg.run_id, "info.json"), "w") as f:
-        json.dump(r.info, f, indent=2, default=str)
+    # through the Hadoop FS API: checkpoint_dir may be HDFS/S3, where a
+    # driver-local open() would crash after all the expensive stages ran
+    from liblevenshtein_rust_spark.session import fs_write_text
+    fs_write_text(spark,
+                  os.path.join(cfg.checkpoint_dir, cfg.run_id, "info.json"),
+                  json.dumps(r.info, indent=2, default=str))
 
     return {
         "turns": turns,

@@ -39,6 +39,20 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API, so
+    driver-side sidecar files (e.g. the pipeline's info.json) land next to
+    HDFS/S3 checkpoints instead of failing on a non-local path."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def get_spark(
     app_name: str = "liblevenshtein-rust-spark",
     master: str | None = None,

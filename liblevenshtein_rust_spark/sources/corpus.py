@@ -107,6 +107,10 @@ def recall_at_d(corpus: DataFrame, dictionary: DataFrame, max_d: int,
         (queries["q_id"] == matches["q_id"]) & (queries["correct"] == matches["term"]),
         "left",
     ).select(queries["q_id"], "correct", "distance")
+    # one row per (misspelling, correct) pair even when the dictionary
+    # carries the same term text under several term_ids — duplicate hit
+    # rows would inflate both found and total
+    hits = hits.groupBy("q_id", "correct").agg(F.min("distance").alias("distance"))
     # single aggregation over an exploded threshold grid — ONE Spark job
     # for all max_d+1 thresholds (each (misspelling, correct) pair emits a
     # row per d; found counts pairs whose match distance is <= d)

@@ -54,9 +54,16 @@ def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
     first_row = None
     n = 0
     for pdf in pdfs:
-        if first_row is None and len(pdf):
-            pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-            first_row = pdf.iloc[0]
+        # track the (conv_id, turn_idx)-minimal row across EVERY chunk: a
+        # group larger than one Arrow batch arrives as multiple pdfs, and
+        # the minimum may live in a later chunk
+        if len(pdf):
+            cand = (pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+                    .iloc[0])
+            if (first_row is None
+                    or (cand["conv_id"], cand["turn_idx"])
+                    < (first_row["conv_id"], first_row["turn_idx"])):
+                first_row = cand
         n += len(pdf)
     state.update((seen + n,))
     if seen == 0 and first_row is not None:

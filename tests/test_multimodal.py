@@ -177,3 +177,12 @@ def test_sample_frames_codec_seam(spark):
         [("v", "video", b"\x00\x00\x01\xba mpeg-ps", {})], MEDIA_SCHEMA)
     with pytest.raises(Exception, match="codec"):
         sample_frames(m, every=2).collect()
+
+
+def test_mbmp_empty_seed_geometry_matches_bmp():
+    # geometry must derive from the ORIGINAL seed length (like bmp_payload),
+    # not from a placeholder substituted for empty seeds
+    from liblevenshtein_rust_spark.operators.multimodal import (
+        bmp_payload, mbmp_payload)
+    frame = bmp_payload(b"")
+    assert mbmp_payload(b"", 3) == frame * 3

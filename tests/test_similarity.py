@@ -108,3 +108,12 @@ def test_lsh_sims_are_exact_for_returned_pairs(spark, qc):
     for r in cosine_top_k_lsh(q, c, 5).collect():
         if (r.q_id, r.c_id) in exact:
             assert math.isclose(r.sim, exact[(r.q_id, r.c_id)], rel_tol=1e-12)
+
+
+def test_ivf_empty_corpus_returns_empty(spark):
+    from liblevenshtein_rust_spark.operators.similarity import cosine_top_k_ivf
+    q = spark.createDataFrame([(1, [1.0, 0.0])], ["q_id", "q_vec"])
+    c = spark.createDataFrame([], "c_id long, c_vec array<double>")
+    out = cosine_top_k_ivf(q, c, 3)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "rank", "c_id", "sim"]

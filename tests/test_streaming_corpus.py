@@ -121,3 +121,16 @@ def test_word_frequencies_running_text(spark):
         [("The fox, the FOX; 42 foxes!",)], ["text"])
     got = {r.term: r.freq for r in word_frequencies(df).collect()}
     assert got == {"the": 2, "fox": 2, "foxes": 1}
+
+
+def test_recall_at_d_duplicate_term_texts(spark):
+    # same term text under two term_ids must not inflate found/total
+    from liblevenshtein_rust_spark.sources.corpus import (
+        mitton_corpus_df, recall_at_d)
+    corpus = mitton_corpus_df(spark, ["$table", "tble 1", "$zzz", "zzq 1"])
+    dictionary = spark.createDataFrame(
+        [("id1", "table"), ("id2", "table"), ("id3", "chair")],
+        ["term_id", "term"])
+    rows = {r["d"]: r for r in recall_at_d(corpus, dictionary, 1).collect()}
+    assert rows[1]["total"] == 2 and rows[1]["found"] == 1
+    assert rows[1]["recall_milli"] == 500

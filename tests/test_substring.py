@@ -160,3 +160,20 @@ def test_transposition_variant(spark):
     # "brwon" needs one adjacent swap: distance 1 under OSA, 2 under standard
     assert not [r for r in std if r.doc_id == 1]
     assert [(r.doc_id, r.distance) for r in osa if r.doc_id == 1] == [(1, 1)]
+
+
+def test_empty_doc_never_matches(spark):
+    # an empty doc has no non-empty substring: dp is min over widths w >= 1
+    qdf = spark.createDataFrame([("q", "a")], ["q_id", "q_text"])
+    ddf = spark.createDataFrame([(1, ""), (2, "xyz")], ["doc_id", "text"])
+    got = fuzzy_substring_join(qdf, ddf, n=2).collect()
+    assert {r.doc_id for r in got} == {2}
+
+
+def test_empty_query_distance_is_one(spark):
+    # d("", T[p:p+w]) = w, minimized at w=1 -> distance 1 at every position
+    qdf = spark.createDataFrame([("q", "")], ["q_id", "q_text"])
+    ddf = spark.createDataFrame([(1, "ab"), (2, "")], ["doc_id", "text"])
+    got = fuzzy_substring_join(qdf, ddf, n=1, all_positions=True).collect()
+    assert {(r.doc_id, r.pos, r.distance) for r in got} == {(1, 1, 1), (1, 2, 1)}
+    assert fuzzy_substring_join(qdf, ddf, n=0).count() == 0
