@@ -625,6 +625,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("q_id", "rank", "c_id")
         )
     q["embedding_topk_ivf"] = _topk_ivf
+
+    # embedding-cosine near-dup pairs (the embedding member of the dedup
+    # family): exact variant oracled; LSH-bucketed variant rows-only
+    # (approximate by construction; recall vs exact asserted in pytest)
+    def _emb_near_dup(s, d):
+        from liblevenshtein_rust_spark.operators.similarity import (
+            cosine_near_dup_pairs)
+        e = _emb(s, d).select("vec_id", "embedding")
+        return (cosine_near_dup_pairs(e, 0.35, method="exact")
+                .select("id_a", "id_b"))
+    q["embedding_near_dup"] = _emb_near_dup
+
+    def _emb_near_dup_lsh(s, d):
+        from liblevenshtein_rust_spark.operators.similarity import (
+            cosine_near_dup_pairs)
+        e = _emb(s, d).select("vec_id", "embedding")
+        return (cosine_near_dup_pairs(e, 0.35, method="lsh")
+                .select("id_a", "id_b"))
+    q["embedding_near_dup_lsh"] = _emb_near_dup_lsh
     return q
 
 
@@ -1129,6 +1148,15 @@ def oracle_sql() -> dict[str, str]:
         "r AS (SELECT q_id, c_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rank FROM s) "
         "SELECT q_id, rank, c_id FROM r WHERE rank <= 5"
     )
+    # threshold 0.35 sits >= 2.8e-5 from every pair's cosine in the fixture
+    # (verified at sf0.001/sf0.01), far above any float32-vs-float64
+    # divergence between engines — the >= comparison cannot flip
+    o["embedding_near_dup"] = (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.35"
+    )
     # rows-only (non-SQL-expressible): merge_split_words_d1, minhash_near_dup,
-    # simhash_near_dup, embedding_topk_lsh
+    # simhash_near_dup, embedding_topk_lsh, embedding_near_dup_lsh
     return o

@@ -197,3 +197,55 @@ def cosine_top_k_lsh(queries: DataFrame, corpus: DataFrame, k: int,
         .where(F.col("rank") <= k)
         .select(q_id, "rank", c_id, "sim")
     )
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float,
+                          *, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          method: str = "lsh",
+                          n_planes: int = 12, n_bands: int = 6,
+                          seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate SELF-join: all unordered pairs
+    (id_a < id_b) with cosine(a, b) >= threshold — the embedding-space
+    member of the dedup family (exact / minhash / simhash / jaccard /
+    cosine).
+
+    method="exact": full self-join — the exactness baseline (quadratic;
+    fine for oracle checks and small dims tables, never the scale path).
+    method="lsh": banded random-hyperplane buckets — only colliding pairs
+    are scored, the same signature/band machinery as cosine_top_k_lsh;
+    recall < 1 by design and measured against exact in
+    tests/test_similarity.py. The band-key join ships (id, int64) only;
+    vectors are attached to surviving candidate pairs afterwards (the
+    attach-late shape of operators/fuzzy_join).
+
+    Output: (id_a, id_b, sim).
+    """
+    if method == "exact":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        rows_per = n_planes // n_bands
+        sig_udf = make_signature_udf(n_planes, seed)
+        keyed = (
+            df.select(F.col(id_col).alias("_id"),
+                      sig_udf(F.col(vec_col)).alias("_sig"))
+            .select("_id", F.explode(F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> "
+                f"xxhash64(b, (_sig >> (b * {rows_per})) & {(1 << rows_per) - 1}))"
+            )).alias("_bkey"))
+        )
+        lk = keyed.select(F.col("_id").alias("id_a"), "_bkey")
+        rk = keyed.select(F.col("_id").alias("id_b"), "_bkey")
+        pairs = (lk.join(rk, "_bkey").where(F.col("id_a") < F.col("id_b"))
+                 .dropDuplicates(["id_a", "id_b"]))
+        cand = (pairs
+                .join(df.select(F.col(id_col).alias("id_a"),
+                                F.col(vec_col).alias("_va")), "id_a")
+                .join(df.select(F.col(id_col).alias("id_b"),
+                                F.col(vec_col).alias("_vb")), "id_b"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (cand.select("id_a", "id_b", _cosine("_va", "_vb").alias("sim"))
+            .where(F.col("sim") >= float(threshold)))

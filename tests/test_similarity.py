@@ -117,3 +117,24 @@ def test_ivf_empty_corpus_returns_empty(spark):
     out = cosine_top_k_ivf(q, c, 3)
     assert out.count() == 0
     assert out.columns == ["q_id", "rank", "c_id", "sim"]
+
+
+def test_cosine_near_dup_lsh_recall(spark, sf_dir):
+    from liblevenshtein_rust_spark.operators.similarity import (
+        cosine_near_dup_pairs)
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("vec_id", "embedding"))
+    exact = {(r.id_a, r.id_b)
+             for r in cosine_near_dup_pairs(e, 0.35, method="exact").collect()}
+    lsh_rows = cosine_near_dup_pairs(e, 0.35, method="lsh").collect()
+    lsh = {(r.id_a, r.id_b) for r in lsh_rows}
+    assert lsh <= exact                      # no false positives (verified sims)
+    assert exact                             # fixture yields pairs
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.85, recall
+    # returned sims are the exact cosine (verification is never approximate)
+    import math
+    ex_sim = {(r.id_a, r.id_b): r.sim
+              for r in cosine_near_dup_pairs(e, 0.35, method="exact").collect()}
+    for r in lsh_rows:
+        assert math.isclose(r.sim, ex_sim[(r.id_a, r.id_b)], rel_tol=1e-12)
