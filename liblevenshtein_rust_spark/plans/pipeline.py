@@ -55,6 +55,12 @@ class PipelineConfig:
     #: exchange on either side — the physical-design lever for repeated
     #: joins over the same keys at 100 TB. None = plain parquet dirs.
     bucket_by: int | None = None
+    #: blocking keys with more members than this route through the
+    #: deterministic triangular salting path (operators/skew.py) instead
+    #: of one reducer key; None = rely on AQE skew-join splitting alone.
+    #: Set on corpora with pathological hot keys (common short turns).
+    salt_threshold: int | None = None
+    salt_groups: int = 8
     extra: dict = field(default_factory=dict)
 
 
@@ -165,7 +171,10 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
     terms = r.stage("terms", s1)
 
     def s2():
-        return fuzzy_self_join(terms, n=cfg.n, variant=cfg.variant, method=cfg.method)
+        return fuzzy_self_join(terms, n=cfg.n, variant=cfg.variant,
+                               method=cfg.method,
+                               salt_threshold=cfg.salt_threshold,
+                               salt_groups=cfg.salt_groups)
 
     pairs = r.stage("scored_pairs", s2)
 

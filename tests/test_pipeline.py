@@ -106,3 +106,18 @@ def test_lineage_and_metrics_written(spark, pipeline_result):
     total = lin.agg(F.sum("rows")).first()[0]
     rows = spark.read.parquet(os.path.join(ckpt, cfg.run_id, "scored_pairs")).count()
     assert total == rows
+
+
+def test_pipeline_salted_run_matches_unsalted(spark, tmp_path):
+    from liblevenshtein_rust_spark.plans.pipeline import (
+        PipelineConfig, run_pipeline)
+    from liblevenshtein_rust_spark.sources.transcripts import synth_transcripts
+    tdf, _ = synth_transcripts(spark, 150, seed=7)
+    a = run_pipeline(spark, tdf, PipelineConfig(
+        checkpoint_dir=str(tmp_path / "a"), n=1))
+    b = run_pipeline(spark, tdf, PipelineConfig(
+        checkpoint_dir=str(tmp_path / "b"), n=1, salt_threshold=4,
+        salt_groups=3))
+    pa = {tuple(r) for r in a["scored_pairs"].select("id_a", "id_b", "distance").collect()}
+    pb = {tuple(r) for r in b["scored_pairs"].select("id_a", "id_b", "distance").collect()}
+    assert pa == pb and pa

@@ -81,3 +81,25 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     got = {(str(r.win_start)[11:16], r.conv_id): r.n_turns
            for r in spark.sql("select * from wincounts").collect()}
     assert got == {("00:00", "c1"): 2, ("00:05", "c1"): 1, ("00:00", "c2"): 1}
+
+
+def test_streaming_dedup_min_across_arrow_chunks(spark, tmp_path):
+    # force the fingerprint group to span multiple Arrow chunks: the
+    # first-seen row must be the global (conv_id, turn_idx) minimum, not
+    # the first chunk's minimum
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(inp, exist_ok=True)
+    # descending conv ids so the true minimum arrives late in file order
+    rows = [_rows(f"c{99 - i:02d}", 0, "same utterance") for i in range(40)]
+    _write_batch(spark, inp, rows)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        _run_dedup(spark, inp, ckpt, out)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert (got[0].first_conv_id, got[0].first_turn_idx) == ("c60", 0)
