@@ -79,22 +79,24 @@ def connected_components(
     ).dropDuplicates(["u", "v"])
     edges = checkpoint(edges)
 
+    # convergence: edge set stable (order-insensitive checksum; decimal
+    # sum cannot overflow under ANSI mode)
+    def _checksum(df: DataFrame):
+        return df.select(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            F.count(F.lit(1)).alias("c"),
+        ).first()
+
+    # carry the previous round's checksum forward: ONE driver action per
+    # round (a scan of the just-checkpointed edges), not two
+    h_old = _checksum(edges)
     for _ in range(max_iterations):
         edges2 = checkpoint(_small_star(_large_star(edges)))
-
-        # convergence: edge set stable (order-insensitive checksum; decimal
-        # sum cannot overflow under ANSI mode)
-        def _checksum(df: DataFrame):
-            return df.select(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-                F.count(F.lit(1)).alias("c"),
-            ).first()
-
-        h_old = _checksum(edges)
         h_new = _checksum(edges2)
         edges = edges2
         if h_old == h_new:
             break
+        h_old = h_new
 
     # after convergence every edge points node -> component root
     assign = edges.select(F.col("u").alias(node_col), F.col("v").alias("entity_id"))
