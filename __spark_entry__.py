@@ -271,6 +271,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    variant="transposition", method="deletion")
         .select(F.col("q_text").alias("query"), "term", "distance")
     )
+    # zero-shuffle broadcast-index variant (per-worker SymSpell index in
+    # one mapInPandas stage) — same semantics as fuzzy_words_std_d2, same
+    # oracle
+    def _fuzzy_bcast(s, d):
+        from liblevenshtein_rust_spark.operators.fuzzy_join import (
+            fuzzy_broadcast_join)
+        return (
+            fuzzy_broadcast_join(_queries_df(s, QUERY_TERMS), _dict27_df(s),
+                                 n=2)
+            .select(F.col("q_text").alias("query"), "term", "distance")
+        )
+    q["fuzzy_words_bcast_d2"] = _fuzzy_bcast
     q["fuzzy_pairs_turns_d1"] = lambda s, d: _term_pairs(s, d, 1)
     q["fuzzy_pairs_turns_d2"] = lambda s, d: _term_pairs(s, d, 2)
     q["fuzzy_multimap"] = lambda s, d: _fuzzy_multimap(s, d)
@@ -745,6 +757,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query, term, CAST(levenshtein(query, term) AS INT) AS distance "
         "FROM q, d WHERE levenshtein(query, term) <= 2"
     )
+
+    o["fuzzy_words_bcast_d2"] = o["fuzzy_words_std_d2"]
 
     o["fuzzy_words_damerau_d2"] = (
         f"WITH d(term) AS (VALUES {_SQL_DICT27}), q(query) AS (VALUES {_SQL_QUERY_TERMS}) "

@@ -450,3 +450,116 @@ def weighted_fuzzy_join(
     return scored.where(F.col("cost") <= float(max_cost)).select(
         F.col("_ida").alias(q_id), F.col("_ta").alias(q_text),
         F.col("_idb").alias(d_id), F.col("_tb").alias(d_text), "cost")
+
+
+def _py_deletion_neighborhood(s: str, depth: int) -> set[str]:
+    """Python twin of blocking_keys.deletion_keys (uncapped): all deletion
+    variants of ``s`` at depths 0..depth. Same set the SQL expression
+    generates, so the broadcast index and the blocked join share one
+    completeness proof."""
+    out = {s}
+    frontier = {s}
+    for _ in range(depth):
+        nxt = set()
+        for x in frontier:
+            for i in range(len(x)):
+                nxt.add(x[:i] + x[i + 1:])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def fuzzy_broadcast_join(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    *,
+    n: int,
+    variant: str = STANDARD,
+    q_id: str = "q_id",
+    q_text: str = "q_text",
+    d_id: str = "term_id",
+    d_text: str = "term",
+    substitutions=None,
+    max_dict_rows: int = 1_000_000,
+) -> DataFrame:
+    """ZERO-SHUFFLE fuzzy join for small dictionaries: the broadcast-
+    hash-join analog of :func:`fuzzy_join`, and the literal "per-partition
+    in-memory dictionary index" strategy (SURVEY §1.4) — the reference's
+    trie/DAWG rebuilt as an ephemeral SymSpell deletion index inside each
+    Python worker, queries streaming through ONE mapInPandas stage.
+
+    The dictionary is collected once on the driver (bounded — raises above
+    ``max_dict_rows``; use the blocked :func:`fuzzy_join` beyond that) and
+    shipped in the task closure; each worker process builds the
+    deletion-neighborhood index lazily on first batch and reuses it for
+    every subsequent batch. No shuffle, no candidate exchange: the plan is
+    Scan -> ArrowEval(mapInPandas) — blocking keys, candidate dedupe, and
+    the banded-DP verify all happen index-side, exactly like a broadcast
+    join trades shuffle for per-task memory.
+
+    Output schema matches fuzzy_join: (q_id, q_text, term_id, term,
+    distance), exact and complete (same deletion-key lemma, same kernel).
+    """
+    import pandas as pd
+
+    from liblevenshtein_rust_spark.functions.distance import batch_distance
+
+    n = int(n)
+    depth = effective_depth(n, variant)
+    sp = substitutions.codepoint_pairs() if substitutions else None
+    src = dst = ""
+    if substitutions is not None:
+        src, dst = substitutions.translate_args()
+    trans = str.maketrans(src, dst) if src else None
+
+    rows = dictionary.select(d_id, d_text).dropDuplicates([d_id]).collect()
+    if len(rows) > max_dict_rows:
+        raise ValueError(
+            f"dictionary has {len(rows)} rows > max_dict_rows="
+            f"{max_dict_rows}; use the shuffled fuzzy_join for large "
+            f"dictionaries")
+    ids = [r[0] for r in rows]
+    terms = [r[1] for r in rows]
+
+    out_schema = (f"`{q_id}` string, `{q_text}` string, "
+                  f"`{d_id}` string, `{d_text}` string, distance int")
+    state: dict = {}
+
+    def _probe(batches):
+        if "idx" not in state:
+            idx: dict[str, list[int]] = {}
+            for j, t in enumerate(terms):
+                kt = t.translate(trans) if trans else t
+                for k in _py_deletion_neighborhood(kt, depth):
+                    idx.setdefault(k, []).append(j)
+            state["idx"] = idx
+        idx = state["idx"]
+        for pdf in batches:
+            o_qid, o_q, o_j = [], [], []
+            for qid, q in zip(pdf[q_id], pdf[q_text]):
+                kq = q.translate(trans) if trans else q
+                cand: set[int] = set()
+                for k in _py_deletion_neighborhood(kq, depth):
+                    cand.update(idx.get(k, ()))
+                for j in cand:
+                    # length prefilter, same as the blocked path
+                    if abs(len(q) - len(terms[j])) <= n:
+                        o_qid.append(qid)
+                        o_q.append(q)
+                        o_j.append(j)
+            if not o_j:
+                continue
+            d = batch_distance(pd.Series(o_q),
+                               pd.Series([terms[j] for j in o_j]),
+                               n, variant, sp)
+            keep = d <= n
+            yield pd.DataFrame({
+                q_id: [x for x, k in zip(o_qid, keep) if k],
+                q_text: [x for x, k in zip(o_q, keep) if k],
+                d_id: [ids[j] for j, k in zip(o_j, keep) if k],
+                d_text: [terms[j] for j, k in zip(o_j, keep) if k],
+                "distance": d[keep],
+            })
+
+    return queries.select(q_id, q_text).mapInPandas(_probe, schema=out_schema)

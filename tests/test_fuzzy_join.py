@@ -162,3 +162,48 @@ def test_distance_zero_exact_match_only(spark, dict_df):
     q = spark.createDataFrame([("test", "test")], ["q_id", "q_text"])
     got = fuzzy_join(q, dict_df, n=0, method="deletion").collect()
     assert len(got) == 1 and got[0].term == "test" and got[0].distance == 0
+
+
+def test_broadcast_join_matches_blocked_join(spark):
+    from liblevenshtein_rust_spark.operators.fuzzy_join import (
+        fuzzy_broadcast_join, fuzzy_join)
+    dict_df = spark.createDataFrame(
+        [(t, t) for t in ["test", "tests", "tset", "best", "abcd", "ab",
+                          "日本語", "café"]], ["term_id", "term"])
+    qs = spark.createDataFrame(
+        [(q, q) for q in ["test", "tst", "bst", "abce", "日本", "cafe", "zzz"]],
+        ["q_id", "q_text"])
+    for variant in ["standard", "transposition", "merge_and_split"]:
+        a = {tuple(r) for r in fuzzy_join(
+            qs, dict_df, n=2, variant=variant, method="deletion").collect()}
+        b = {tuple(r) for r in fuzzy_broadcast_join(
+            qs, dict_df, n=2, variant=variant).collect()}
+        assert a == b, variant
+    assert a  # workload yields matches
+
+
+def test_broadcast_join_substitutions(spark):
+    from liblevenshtein_rust_spark.functions.substitutions import SubstitutionSet
+    from liblevenshtein_rust_spark.operators.fuzzy_join import (
+        fuzzy_broadcast_join, fuzzy_join)
+    dict_df = spark.createDataFrame(
+        [(t, t) for t in ["phone", "zone", "seat"]], ["term_id", "term"])
+    qs = spark.createDataFrame([(q, q) for q in ["fone", "zeat"]],
+                               ["q_id", "q_text"])
+    subs = SubstitutionSet.of(("f", "p"), ("s", "z"))
+    a = {tuple(r) for r in fuzzy_join(
+        qs, dict_df, n=1, method="deletion", substitutions=subs).collect()}
+    b = {tuple(r) for r in fuzzy_broadcast_join(
+        qs, dict_df, n=1, substitutions=subs).collect()}
+    assert a == b and a
+
+
+def test_broadcast_join_dict_cap(spark):
+    import pytest as _pytest
+    from liblevenshtein_rust_spark.operators.fuzzy_join import (
+        fuzzy_broadcast_join)
+    dict_df = spark.createDataFrame(
+        [(str(i), f"t{i}") for i in range(30)], ["term_id", "term"])
+    qs = spark.createDataFrame([("q", "t1")], ["q_id", "q_text"])
+    with _pytest.raises(ValueError, match="max_dict_rows"):
+        fuzzy_broadcast_join(qs, dict_df, n=1, max_dict_rows=10)
