@@ -519,11 +519,20 @@ def fuzzy_broadcast_join(
             f"dictionary has {len(rows)} rows > max_dict_rows="
             f"{max_dict_rows}; use the shuffled fuzzy_join for large "
             f"dictionaries")
-    ids = [r[0] for r in rows]
-    terms = [r[1] for r in rows]
+    # null terms carry no keys (the SQL key expressions are null-safe the
+    # same way)
+    ids = [r[0] for r in rows if r[1] is not None]
+    terms = [r[1] for r in rows if r[1] is not None]
 
-    out_schema = (f"`{q_id}` string, `{q_text}` string, "
-                  f"`{d_id}` string, `{d_text}` string, distance int")
+    # id columns keep their INPUT types (ids are opaque pass-throughs)
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    out_schema = StructType([
+        StructField(q_id, queries.schema[q_id].dataType),
+        StructField(q_text, StringType()),
+        StructField(d_id, dictionary.schema[d_id].dataType),
+        StructField(d_text, StringType()),
+        StructField("distance", IntegerType()),
+    ])
     state: dict = {}
 
     def _probe(batches):
@@ -538,6 +547,8 @@ def fuzzy_broadcast_join(
         for pdf in batches:
             o_qid, o_q, o_j = [], [], []
             for qid, q in zip(pdf[q_id], pdf[q_text]):
+                if q is None:
+                    continue
                 kq = q.translate(trans) if trans else q
                 cand: set[int] = set()
                 for k in _py_deletion_neighborhood(kq, depth):

@@ -207,3 +207,20 @@ def test_broadcast_join_dict_cap(spark):
     qs = spark.createDataFrame([("q", "t1")], ["q_id", "q_text"])
     with _pytest.raises(ValueError, match="max_dict_rows"):
         fuzzy_broadcast_join(qs, dict_df, n=1, max_dict_rows=10)
+
+
+def test_broadcast_join_nonstring_ids_and_nulls(spark):
+    from liblevenshtein_rust_spark.operators.fuzzy_join import (
+        fuzzy_broadcast_join)
+    dict_df = spark.createDataFrame(
+        [(1, "test"), (2, "best"), (3, None)],
+        "term_id long, term string")
+    qs = spark.createDataFrame(
+        [(10, "tst"), (11, None)], "q_id int, q_text string")
+    got = {(r.q_id, r.term_id, r.term, r.distance)
+           for r in fuzzy_broadcast_join(qs, dict_df, n=1).collect()}
+    assert got == {(10, 1, "test", 1)}
+    out = fuzzy_broadcast_join(qs, dict_df, n=1)
+    assert dict(out.dtypes) == {"q_id": "int", "q_text": "string",
+                                "term_id": "bigint", "term": "string",
+                                "distance": "int"}
