@@ -1171,6 +1171,9 @@ def oracle_sql() -> dict[str, str]:
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) >= 0.35"
     )
-    # rows-only (non-SQL-expressible): merge_split_words_d1, minhash_near_dup,
-    # simhash_near_dup, embedding_topk_lsh, embedding_near_dup_lsh
+    # rows-only (non-SQL-expressible): merge_split_words_d1 (merge-split
+    # DP), subst_fuzzy_phonetic (non-transitive pair semantics),
+    # minhash_near_dup / simhash_near_dup (hash blocking),
+    # embedding_topk_lsh / embedding_topk_ivf / embedding_near_dup_lsh
+    # (approximate by construction) — each pytest-verified instead
     return o

@@ -452,6 +452,14 @@ def weighted_fuzzy_join(
         F.col("_idb").alias(d_id), F.col("_tb").alias(d_text), "cost")
 
 
+#: per-worker-process cache of broadcast-join indexes, keyed by the join
+#: invocation's token: tasks of the same join reuse one built index
+#: across partitions (a closure-held dict would be re-pickled per task).
+#: Bounded: oldest entries evicted beyond a handful of live joins.
+_BCAST_INDEX_CACHE: dict = {}
+_BCAST_CACHE_MAX = 8
+
+
 def _py_deletion_neighborhood(s: str, depth: int) -> set[str]:
     """Python twin of blocking_keys.deletion_keys (uncapped): all deletion
     variants of ``s`` at depths 0..depth. Same set the SQL expression
@@ -489,18 +497,25 @@ def fuzzy_broadcast_join(
     trie/DAWG rebuilt as an ephemeral SymSpell deletion index inside each
     Python worker, queries streaming through ONE mapInPandas stage.
 
-    The dictionary is collected once on the driver (bounded — raises above
-    ``max_dict_rows``; use the blocked :func:`fuzzy_join` beyond that) and
-    shipped in the task closure; each worker process builds the
-    deletion-neighborhood index lazily on first batch and reuses it for
-    every subsequent batch. No shuffle, no candidate exchange: the plan is
-    Scan -> ArrowEval(mapInPandas) — blocking keys, candidate dedupe, and
-    the banded-DP verify all happen index-side, exactly like a broadcast
-    join trades shuffle for per-task memory.
+    The dictionary collect is BOUNDED (limit(max_dict_rows + 1) — the
+    over-limit check happens before the driver ever holds more than the
+    cap; use the blocked :func:`fuzzy_join` beyond it). Each Python worker
+    process builds the deletion index once per join invocation (module-
+    level cache keyed by a per-call token — tasks of the same join reuse
+    it across partitions AND batches) and short-term probes hit it;
+    queries longer than SHORT_MAX skip key generation entirely and scan
+    the in-memory by-length buckets instead (exact, and O(#near-length
+    terms) per row instead of O(len^2) deletion keys). No shuffle, no
+    candidate exchange: the plan is Scan -> ArrowEval(mapInPandas).
 
-    Output schema matches fuzzy_join: (q_id, q_text, term_id, term,
-    distance), exact and complete (same deletion-key lemma, same kernel).
+    Semantics match fuzzy_join, including its edge behavior: one output
+    row per (q_id, term_id) pair (duplicate q_id rows collapse, as the
+    blocked path's pair-dedupe + text-attach dropDuplicates do) and
+    null-id rows drop (as equi-joins do). Exact and complete — same
+    deletion-key lemma, same kernel.
     """
+    import uuid
+
     import pandas as pd
 
     from liblevenshtein_rust_spark.functions.distance import batch_distance
@@ -513,16 +528,17 @@ def fuzzy_broadcast_join(
         src, dst = substitutions.translate_args()
     trans = str.maketrans(src, dst) if src else None
 
-    rows = dictionary.select(d_id, d_text).dropDuplicates([d_id]).collect()
+    rows = (dictionary.select(d_id, d_text)
+            .where(F.col(d_id).isNotNull() & F.col(d_text).isNotNull())
+            .dropDuplicates([d_id])
+            .limit(max_dict_rows + 1).collect())
     if len(rows) > max_dict_rows:
         raise ValueError(
-            f"dictionary has {len(rows)} rows > max_dict_rows="
-            f"{max_dict_rows}; use the shuffled fuzzy_join for large "
-            f"dictionaries")
-    # null terms carry no keys (the SQL key expressions are null-safe the
-    # same way)
-    ids = [r[0] for r in rows if r[1] is not None]
-    terms = [r[1] for r in rows if r[1] is not None]
+            f"dictionary exceeds max_dict_rows={max_dict_rows}; use the "
+            f"shuffled fuzzy_join for large dictionaries")
+    ids = [r[0] for r in rows]
+    terms = [r[1] for r in rows]
+    token = uuid.uuid4().hex   # per-call cache key, same for all tasks
 
     # id columns keep their INPUT types (ids are opaque pass-throughs)
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
@@ -533,26 +549,39 @@ def fuzzy_broadcast_join(
         StructField(d_text, StringType()),
         StructField("distance", IntegerType()),
     ])
-    state: dict = {}
 
     def _probe(batches):
-        if "idx" not in state:
+        cached = _BCAST_INDEX_CACHE.get(token)
+        if cached is None:
             idx: dict[str, list[int]] = {}
+            buckets: dict[int, list[int]] = {}
             for j, t in enumerate(terms):
-                kt = t.translate(trans) if trans else t
-                for k in _py_deletion_neighborhood(kt, depth):
-                    idx.setdefault(k, []).append(j)
-            state["idx"] = idx
-        idx = state["idx"]
+                buckets.setdefault(len(t), []).append(j)
+                if len(t) <= SHORT_MAX + n:
+                    kt = t.translate(trans) if trans else t
+                    for k in _py_deletion_neighborhood(kt, depth):
+                        idx.setdefault(k, []).append(j)
+            cached = (idx, buckets)
+            while len(_BCAST_INDEX_CACHE) >= _BCAST_CACHE_MAX:
+                _BCAST_INDEX_CACHE.pop(next(iter(_BCAST_INDEX_CACHE)))
+            _BCAST_INDEX_CACHE[token] = cached
+        idx, buckets = cached
         for pdf in batches:
             o_qid, o_q, o_j = [], [], []
             for qid, q in zip(pdf[q_id], pdf[q_text]):
-                if q is None:
+                if q is None or qid is None:
                     continue
-                kq = q.translate(trans) if trans else q
-                cand: set[int] = set()
-                for k in _py_deletion_neighborhood(kq, depth):
-                    cand.update(idx.get(k, ()))
+                if len(q) <= SHORT_MAX:
+                    kq = q.translate(trans) if trans else q
+                    cand: set[int] = set()
+                    for k in _py_deletion_neighborhood(kq, depth):
+                        cand.update(idx.get(k, ()))
+                else:
+                    # long query: exact by-length-bucket scan of the small
+                    # in-memory dictionary (never O(len^2) deletion keys)
+                    cand = set()
+                    for L in range(len(q) - n, len(q) + n + 1):
+                        cand.update(buckets.get(L, ()))
                 for j in cand:
                     # length prefilter, same as the blocked path
                     if abs(len(q) - len(terms[j])) <= n:
@@ -573,4 +602,7 @@ def fuzzy_broadcast_join(
                 "distance": d[keep],
             })
 
-    return queries.select(q_id, q_text).mapInPandas(_probe, schema=out_schema)
+    qs = (queries.select(q_id, q_text)
+          .where(F.col(q_id).isNotNull())
+          .dropDuplicates([q_id]))
+    return qs.mapInPandas(_probe, schema=out_schema)

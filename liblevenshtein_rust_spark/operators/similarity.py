@@ -162,6 +162,17 @@ def cosine_top_k_ivf(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
+def _band_key_expr(n_planes: int, n_bands: int) -> str:
+    """SQL expression turning the int64 signature column ``_sig`` into the
+    array of banded LSH keys — shared by every LSH bucketing path here.
+    Each band hashes ``n_planes // n_bands`` plane bits; leftover planes
+    (n_planes % n_bands) are unused, so keep the plane count a multiple of
+    the band count."""
+    rows_per = n_planes // n_bands
+    return (f"transform(sequence(0, {n_bands - 1}), b -> "
+            f"xxhash64(b, (_sig >> (b * {rows_per})) & {(1 << rows_per) - 1}))")
+
+
 def cosine_top_k_lsh(queries: DataFrame, corpus: DataFrame, k: int,
                      *, q_id: str = "q_id", q_vec: str = "q_vec",
                      c_id: str = "c_id", c_vec: str = "c_vec",
@@ -171,14 +182,11 @@ def cosine_top_k_lsh(queries: DataFrame, corpus: DataFrame, k: int,
     score only colliding pairs. Recall < 1 by design; the scale path for
     corpora where brute force is infeasible (candidate count is
     |collisions|, not |Q| x |C|). Output schema matches cosine_top_k."""
-    rows_per = n_planes // n_bands
     sig_udf = make_signature_udf(n_planes, seed)
 
     def keyed(df, idc, vecc, alias):
         sig = sig_udf(F.col(vecc))
-        bands = F.expr(
-            f"transform(sequence(0, {n_bands - 1}), b -> "
-            f"xxhash64(b, (_sig >> (b * {rows_per})) & {(1 << rows_per) - 1}))")
+        bands = F.expr(_band_key_expr(n_planes, n_bands))
         return (df.select(F.col(idc), F.col(vecc), sig.alias("_sig"))
                   .select(F.col(idc), F.col(vecc), F.explode(bands).alias("_bkey"))
                   .alias(alias))
@@ -226,15 +234,12 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        rows_per = n_planes // n_bands
         sig_udf = make_signature_udf(n_planes, seed)
         keyed = (
             df.select(F.col(id_col).alias("_id"),
                       sig_udf(F.col(vec_col)).alias("_sig"))
-            .select("_id", F.explode(F.expr(
-                f"transform(sequence(0, {n_bands - 1}), b -> "
-                f"xxhash64(b, (_sig >> (b * {rows_per})) & {(1 << rows_per) - 1}))"
-            )).alias("_bkey"))
+            .select("_id", F.explode(
+                F.expr(_band_key_expr(n_planes, n_bands))).alias("_bkey"))
         )
         lk = keyed.select(F.col("_id").alias("id_a"), "_bkey")
         rk = keyed.select(F.col("_id").alias("id_b"), "_bkey")

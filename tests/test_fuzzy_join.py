@@ -224,3 +224,30 @@ def test_broadcast_join_nonstring_ids_and_nulls(spark):
     assert dict(out.dtypes) == {"q_id": "int", "q_text": "string",
                                 "term_id": "bigint", "term": "string",
                                 "distance": "int"}
+
+
+def test_broadcast_join_long_queries_use_bucket_scan(spark):
+    from liblevenshtein_rust_spark.operators.fuzzy_join import (
+        fuzzy_broadcast_join, fuzzy_join)
+    long_t = "x" * 40
+    dict_df = spark.createDataFrame(
+        [("a", long_t), ("b", long_t[:-1] + "y"), ("c", "short")],
+        ["term_id", "term"])
+    qs = spark.createDataFrame(
+        [("q1", long_t[:-1]), ("q2", "shrt")], ["q_id", "q_text"])
+    a = {tuple(r) for r in fuzzy_join(
+        qs, dict_df, n=1, method="hybrid").collect()}
+    b = {tuple(r) for r in fuzzy_broadcast_join(qs, dict_df, n=1).collect()}
+    assert a == b and a
+
+
+def test_broadcast_join_duplicate_query_rows_collapse(spark):
+    # parity with the blocked path's pair-level dedupe
+    from liblevenshtein_rust_spark.operators.fuzzy_join import (
+        fuzzy_broadcast_join, fuzzy_join)
+    dict_df = spark.createDataFrame([("t1", "test")], ["term_id", "term"])
+    qs = spark.createDataFrame(
+        [("q1", "tst"), ("q1", "tst")], ["q_id", "q_text"])
+    a = fuzzy_join(qs, dict_df, n=1, method="deletion").collect()
+    b = fuzzy_broadcast_join(qs, dict_df, n=1).collect()
+    assert len(a) == len(b) == 1

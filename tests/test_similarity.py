@@ -124,8 +124,8 @@ def test_cosine_near_dup_lsh_recall(spark, sf_dir):
         cosine_near_dup_pairs)
     e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
          .select("vec_id", "embedding"))
-    exact = {(r.id_a, r.id_b)
-             for r in cosine_near_dup_pairs(e, 0.35, method="exact").collect()}
+    ex_rows = cosine_near_dup_pairs(e, 0.35, method="exact").collect()
+    exact = {(r.id_a, r.id_b) for r in ex_rows}
     lsh_rows = cosine_near_dup_pairs(e, 0.35, method="lsh").collect()
     lsh = {(r.id_a, r.id_b) for r in lsh_rows}
     assert lsh <= exact                      # no false positives (verified sims)
@@ -134,7 +134,6 @@ def test_cosine_near_dup_lsh_recall(spark, sf_dir):
     assert recall >= 0.85, recall
     # returned sims are the exact cosine (verification is never approximate)
     import math
-    ex_sim = {(r.id_a, r.id_b): r.sim
-              for r in cosine_near_dup_pairs(e, 0.35, method="exact").collect()}
+    ex_sim = {(r.id_a, r.id_b): r.sim for r in ex_rows}
     for r in lsh_rows:
         assert math.isclose(r.sim, ex_sim[(r.id_a, r.id_b)], rel_tol=1e-12)
