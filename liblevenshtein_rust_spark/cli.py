@@ -130,7 +130,10 @@ def main(argv: list[str] | None = None) -> int:
                 q, d.select(F.col("term_id").alias("doc_id"),
                             F.col("term").alias("text")),
                 n=args.max_distance, variant=args.variant,
-                all_positions=True)
+                all_positions=True,
+                # single interactive query, user-initiated: the degenerate
+                # short-query probe is an acceptable cost here
+                allow_short_queries=True)
             m = m.join(d.select(F.col("term_id").alias("doc_id"), "term"),
                        "doc_id").orderBy("distance", "term", "pos")
             if args.limit:

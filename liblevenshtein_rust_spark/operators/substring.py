@@ -91,6 +91,7 @@ def fuzzy_substring_join(
     d_id: str = "doc_id",
     d_text: str = "text",
     all_positions: bool = False,
+    allow_short_queries: bool = False,
 ) -> DataFrame:
     """All (query, doc) pairs where the query matches a substring of the
     doc within edit distance ``n``.
@@ -101,11 +102,13 @@ def fuzzy_substring_join(
       all_positions=True:  (q_id, q_text, d_id, pos, distance) — one row
         per start position p with dp(p) <= n.
 
-    Exact and complete for every query length: queries shorter than the
-    segment count (n+1 for standard, 2n+1 otherwise) cannot use the
-    blocked path and are routed through a broadcast probe of every
-    position — correct but linear in text length per query, so keep such
-    near-degenerate queries rare in large workloads.
+    Queries shorter than the segment count (n+1 for standard, 2n+1
+    otherwise) cannot use the blocked path; their only exact plan is a
+    broadcast probe of EVERY position of EVERY doc — a full-corpus
+    position explode that one stray 2-char query would trigger in a
+    100-TB workload. That path therefore raises unless the caller opts
+    in with ``allow_short_queries=True`` (still exact and complete, just
+    linear in total text length per short query).
     """
     n = int(n)
     qs = queries.select(F.col(q_id).alias("_qid"), F.col(q_text).alias("_q"))
@@ -164,6 +167,12 @@ def fuzzy_substring_join(
             F.explode(F.sequence(F.col("_a") - n, F.col("_a") + n)).alias("pos"))
 
     if short_lens:
+        if not allow_short_queries:
+            raise ValueError(
+                f"queries of length < {min_long} (got lengths {short_lens}) "
+                f"have no blocked plan at n={n} ({variant}); their exact "
+                f"fallback probes every position of every document. Pass "
+                f"allow_short_queries=True to opt in, or filter them out.")
         # degenerate short queries: every position of every doc is probed
         # (broadcast the tiny short-query side; see docstring)
         shorts = qs.where(F.length("_q") < min_long)
