@@ -489,7 +489,8 @@ def fuzzy_broadcast_join(
     d_id: str = "term_id",
     d_text: str = "term",
     substitutions=None,
-    max_dict_rows: int = 1_000_000,
+    max_dict_rows: int = 100_000,
+    max_index_keys: int = 20_000_000,
 ) -> DataFrame:
     """ZERO-SHUFFLE fuzzy join for small dictionaries: the broadcast-
     hash-join analog of :func:`fuzzy_join`, and the literal "per-partition
@@ -497,12 +498,23 @@ def fuzzy_broadcast_join(
     trie/DAWG rebuilt as an ephemeral SymSpell deletion index inside each
     Python worker, queries streaming through ONE mapInPandas stage.
 
-    The dictionary collect is BOUNDED (limit(max_dict_rows + 1) — the
-    over-limit check happens before the driver ever holds more than the
-    cap; use the blocked :func:`fuzzy_join` beyond it). Each Python worker
-    process builds the deletion index once per join invocation (module-
-    level cache keyed by a per-call token — tasks of the same join reuse
-    it across partitions AND batches) and short-term probes hit it;
+    Memory bounds (two, both checked before any worker builds anything):
+    ``max_dict_rows`` bounds the driver collect (limit(max + 1) — the
+    over-limit check fires before the driver holds more than the cap);
+    ``max_index_keys`` bounds the WORKER-side deletion index, which is
+    what actually costs memory — each short term expands into
+    sum_{k<=depth} C(len, k) keys (~hundreds at depth 2), so row count
+    alone is a poor proxy. The estimate is the exact per-term binomial
+    bound computed driver-side from the collected terms. Beyond either
+    bound, use the blocked :func:`fuzzy_join`.
+
+    The (ids, terms) payload ships via ``sc.broadcast`` — one torrent
+    transfer per executor, NOT a copy pickled into every task closure.
+    Each Python worker process builds the deletion index once per join
+    invocation (module-level cache keyed by a per-call token — tasks of
+    the same join reuse it across partitions AND batches). NOTE the cache
+    retains up to ``_BCAST_CACHE_MAX`` full indexes per worker process
+    after their joins finish (bounded by max_index_keys x that constant);
     queries longer than SHORT_MAX skip key generation entirely and scan
     the in-memory by-length buckets instead (exact, and O(#near-length
     terms) per row instead of O(len^2) deletion keys). No shuffle, no
@@ -514,6 +526,7 @@ def fuzzy_broadcast_join(
     null-id rows drop (as equi-joins do). Exact and complete — same
     deletion-key lemma, same kernel.
     """
+    import math
     import uuid
 
     import pandas as pd
@@ -538,6 +551,17 @@ def fuzzy_broadcast_join(
             f"shuffled fuzzy_join for large dictionaries")
     ids = [r[0] for r in rows]
     terms = [r[1] for r in rows]
+    # worker-memory budget: exact binomial upper bound on the deletion
+    # index size (only short terms are indexed; long ones go to buckets)
+    est_keys = sum(
+        sum(math.comb(len(t), k) for k in range(depth + 1))
+        for t in terms if len(t) <= SHORT_MAX + n)
+    if est_keys > max_index_keys:
+        raise ValueError(
+            f"estimated worker deletion-index size {est_keys:,} keys exceeds "
+            f"max_index_keys={max_index_keys:,}; use the shuffled fuzzy_join "
+            f"(or raise max_index_keys if the executors have the memory)")
+    bc = queries.sparkSession.sparkContext.broadcast((ids, terms))
     token = uuid.uuid4().hex   # per-call cache key, same for all tasks
 
     # id columns keep their INPUT types (ids are opaque pass-throughs)
@@ -551,6 +575,8 @@ def fuzzy_broadcast_join(
     ])
 
     def _probe(batches):
+        # one fetch per executor (torrent-distributed), not per task
+        ids, terms = bc.value
         cached = _BCAST_INDEX_CACHE.get(token)
         if cached is None:
             idx: dict[str, list[int]] = {}

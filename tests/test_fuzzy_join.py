@@ -209,6 +209,23 @@ def test_broadcast_join_dict_cap(spark):
         fuzzy_broadcast_join(qs, dict_df, n=1, max_dict_rows=10)
 
 
+def test_broadcast_join_key_budget_cap(spark):
+    """max_index_keys bounds the WORKER-side deletion index (row count is
+    a poor proxy for index memory — ADVICE r2): 30 ten-char terms at
+    depth 2 expand to 30 * (1 + 10 + 45) = 1,680 keys > 1,000."""
+    import pytest as _pytest
+    from liblevenshtein_rust_spark.operators.fuzzy_join import (
+        fuzzy_broadcast_join)
+    dict_df = spark.createDataFrame(
+        [(str(i), f"abcdefgh{i:02d}") for i in range(30)], ["term_id", "term"])
+    qs = spark.createDataFrame([("q", "abcdefgh01")], ["q_id", "q_text"])
+    with _pytest.raises(ValueError, match="max_index_keys"):
+        fuzzy_broadcast_join(qs, dict_df, n=2, max_index_keys=1000)
+    # within budget it runs and matches
+    got = fuzzy_broadcast_join(qs, dict_df, n=2, max_index_keys=2000).collect()
+    assert {r.term for r in got} >= {"abcdefgh01"}
+
+
 def test_broadcast_join_nonstring_ids_and_nulls(spark):
     from liblevenshtein_rust_spark.operators.fuzzy_join import (
         fuzzy_broadcast_join)
