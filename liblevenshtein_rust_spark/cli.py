@@ -269,14 +269,19 @@ def _repl(spark, args) -> int:
                 print(f"{r.term}\t{r.distance}", flush=True)
         elif cmd == "insert" and rest:
             new = spark.createDataFrame([(t,) for t in rest], ["term"])
-            d = d.unionByName(new).dropDuplicates(["term"]) \
+            prev, d = d, d.unionByName(new).dropDuplicates(["term"]) \
                 .localCheckpoint(eager=True)
+            # drop the superseded checkpoint's blocks — without this,
+            # block-manager storage grows per mutation over a long session
+            prev.unpersist()
             if args.auto_sync:
                 _write_dict(d, args.dict, None)
             print(json.dumps({"terms": d.count()}), flush=True)
         elif cmd == "delete" and rest:
             gone = spark.createDataFrame([(t,) for t in rest], ["term"])
-            d = d.join(gone, "term", "left_anti").localCheckpoint(eager=True)
+            prev, d = d, d.join(gone, "term", "left_anti") \
+                .localCheckpoint(eager=True)
+            prev.unpersist()
             if args.auto_sync:
                 _write_dict(d, args.dict, None)
             print(json.dumps({"terms": d.count()}), flush=True)

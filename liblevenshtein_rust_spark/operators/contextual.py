@@ -135,6 +135,7 @@ def scoped_complete(
     draft_col: str = "draft",
     draft_ctx: str = "context_id",
     max_depth: int = 64,
+    vis: DataFrame | None = None,
 ) -> DataFrame:
     """``engine.complete()`` as a DataFrame operator.
 
@@ -142,15 +143,25 @@ def scoped_complete(
     — finalized definitions, long format; drafts (context_id, draft) —
     one buffer per context; tree (context_id, parent_id).
 
+    ``vis`` (optional): a precomputed ancestor closure with columns
+    (context_id, visible_id), e.g. from :func:`visible_contexts`. The
+    closure costs one iterative doubling join (with a count per round)
+    per call; interactive sessions issuing many completions against an
+    unchanged tree should compute it once per tree mutation and pass it
+    here (ContextualSession does exactly that).
+
     Output: (q_id, q_text, term, distance, is_draft, contexts) where
     contexts is the sorted array of VISIBLE contexts carrying the term
     (drafts carry their own context), rows limited to distance <= n and
     deduplicated per (query, term) with draft overriding finalized
     (engine.rs:1073-1082). Sort consumers should order by
     (distance, is_draft, term) to match Completion::cmp."""
-    vis = visible_contexts(
-        tree.select(F.col("context_id").alias("_vctx"), F.col("parent_id")),
-        id_col="_vctx", parent_col="parent_id", max_depth=max_depth)
+    if vis is None:
+        vis = visible_contexts(
+            tree.select(F.col("context_id").alias("_vctx"), F.col("parent_id")),
+            id_col="_vctx", parent_col="parent_id", max_depth=max_depth)
+    else:
+        vis = vis.select(F.col("context_id").alias("_vctx"), "visible_id")
     qv = queries.select(F.col(q_id).alias("_qid"), F.col(q_text).alias("_q"),
                         F.col(q_ctx).alias("_qctx")) \
         .join(vis, F.col("_qctx") == F.col("_vctx")) \

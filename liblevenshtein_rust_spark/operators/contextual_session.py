@@ -48,7 +48,10 @@ from pyspark.sql.types import (
 )
 
 from liblevenshtein_rust_spark.functions.distance import STANDARD
-from liblevenshtein_rust_spark.operators.contextual import scoped_complete
+from liblevenshtein_rust_spark.operators.contextual import (
+    scoped_complete,
+    visible_contexts,
+)
 
 _TERMS_SCHEMA = StructType([
     StructField("term", StringType(), False),
@@ -81,6 +84,12 @@ class ContextualSession:
         self._checkpoints: dict[int, list[str]] = {}
         self._pending: list[tuple[str, int]] = []
         self._base = base_terms
+        # visibility-closure cache, keyed by tree version: the closure
+        # runs an iterative doubling join (a count per round), so an
+        # interactive session issuing many completions computes it once
+        # per tree MUTATION, not once per complete() call
+        self._tree_version = 0
+        self._vis_cache: tuple[int, DataFrame] | None = None
 
     # ---- context lifecycle (engine.rs:275-430) ----
 
@@ -90,6 +99,7 @@ class ContextualSession:
         self._parent[cid] = None
         self._drafts[cid] = ""
         self._checkpoints[cid] = []
+        self._tree_version += 1
         return cid
 
     def create_child_context(self, cid: int, parent_id: int) -> int:
@@ -100,6 +110,7 @@ class ContextualSession:
         self._parent[cid] = parent_id
         self._drafts[cid] = ""
         self._checkpoints[cid] = []
+        self._tree_version += 1
         return cid
 
     def remove_context(self, cid: int) -> bool:
@@ -123,6 +134,7 @@ class ContextualSession:
             del self._parent[c]
             self._drafts.pop(c, None)
             self._checkpoints.pop(c, None)
+        self._tree_version += 1
         return True
 
     def context_exists(self, cid: int) -> bool:
@@ -233,7 +245,13 @@ class ContextualSession:
         """Fold the pending buffer into the base DataFrame (optionally via
         a parquet state dir, the durable DynamicDawg-snapshot analog)."""
         if path is not None:
-            self.terms_df().write.mode("overwrite").parquet(path)
+            # materialize BEFORE overwriting: when _base was loaded from
+            # this same path (every flush after the first), terms_df()'s
+            # plan READS the files the write is about to replace — the
+            # read-while-overwrite hazard the CLI insert/delete path
+            # guards against the same way
+            snap = self.terms_df().localCheckpoint(eager=True)
+            snap.write.mode("overwrite").parquet(path)
             self._base = self.spark.read.parquet(path)
         else:
             self._base = self.terms_df().localCheckpoint(eager=True)
@@ -280,6 +298,27 @@ class ContextualSession:
         return self.spark.createDataFrame(
             [(int(c), d) for c, d in self._drafts.items()], schema)
 
+    def _visible_closure(self) -> DataFrame:
+        """Ancestor closure (context_id, visible_id) for the CURRENT tree,
+        computed once per tree version: the closure's doubling rounds each
+        run a count, so recomputing per complete() call (the r2 pattern)
+        multiplied driver actions by the completion count. The cached
+        DataFrame is localCheckpoint'ed — later completions reuse the
+        materialized blocks; superseded closures are unpersisted."""
+        if self._vis_cache is not None and \
+                self._vis_cache[0] == self._tree_version:
+            return self._vis_cache[1]
+        vis = visible_contexts(
+            self._tree_df().select(
+                F.col("context_id").alias("_vctx"), "parent_id"),
+            id_col="_vctx", parent_col="parent_id",
+        ).select(F.col("_vctx").alias("context_id"), "visible_id") \
+            .localCheckpoint(eager=True)
+        if self._vis_cache is not None:
+            self._vis_cache[1].unpersist()
+        self._vis_cache = (self._tree_version, vis)
+        return vis
+
     def complete(self, cid: int, query: str, n: int, *,
                  variant: str = STANDARD,
                  include_drafts: bool = True,
@@ -300,7 +339,8 @@ class ContextualSession:
         if not include_finalized:
             terms = terms.where(F.lit(False))
         out = scoped_complete(qdf, terms, drafts, self._tree_df(),
-                              n=n, variant=variant)
+                              n=n, variant=variant,
+                              vis=self._visible_closure())
         return out.orderBy("distance", "is_draft", "term")
 
     def complete_list(self, cid: int, query: str, n: int, **kw) -> list[tuple]:

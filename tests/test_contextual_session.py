@@ -212,3 +212,33 @@ def test_flush_and_resume(sess, spark, tmp_path):
     assert resumed.term_contexts("persisted") == [0]
     assert resumed.complete_list(0, "persisted", 0) == [
         ("persisted", 0, False)]
+
+
+def test_closure_computed_once_per_tree_mutation(sess, monkeypatch):
+    """complete() must not recompute the visibility closure per call —
+    the closure's doubling rounds each run a driver action, so an
+    interactive session would multiply actions by its completion count
+    (VERDICT r2 #8). One computation per tree version."""
+    import liblevenshtein_rust_spark.operators.contextual_session as cs
+
+    calls = {"n": 0}
+    real = cs.visible_contexts
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cs, "visible_contexts", counting)
+    g = sess.create_root_context(0)
+    c = sess.create_child_context(1, g)
+    sess.finalize_direct(g, "alpha")
+    sess.finalize_direct(c, "alpine")
+    for q in ["alpha", "alphq", "alpine"]:
+        sess.complete(c, q, 1).collect()
+    assert calls["n"] == 1
+    # a tree mutation invalidates the cache -> exactly one recompute
+    sess.create_child_context(2, c)
+    sess.finalize_direct(2, "alto")
+    assert sess.complete_list(2, "alto", 0) == [("alto", 0, False)]
+    sess.complete(2, "alpha", 1).collect()
+    assert calls["n"] == 2
