@@ -515,6 +515,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _word_freq(s, d).select(F.col("w").alias("term_id"), F.col("w").alias("term")),
         2)
 
+    # REFERENCE-SCALE corpus validation: the reference's flagship
+    # empirical evidence is recall over its 123,985-word English
+    # dictionary (corpus_validation.rs:22-28: Holbrook 86.6% @ d<=2,
+    # 100% @ d<=3). Same dictionary here, with a deterministic planted
+    # error corpus (~1.6k misspellings at 1..3 edits — arithmetic
+    # mutations, so the SQL twin regenerates it bit-for-bit). The engine
+    # is exact-complete, so recall over planted <=3-edit errors must be
+    # 100% @ d=3 — anything less is a blocking bug, and the hash
+    # comparison against the DP oracle catches it.
+    def _corpus_recall_124k(s, d):
+        from liblevenshtein_rust_spark.sources.corpus import (
+            EN_WORDS_PATH, load_wordlist, planted_error_corpus)
+        words = load_wordlist(s, EN_WORDS_PATH)
+        corpus = planted_error_corpus(words)
+        return recall_at_d(corpus, words, 3, method="auto", persist=True)
+    q["corpus_recall_124k"] = _corpus_recall_124k
+
     # --- restricted zero-cost substitutions (rows-only: no SQL analog) ---
     def _subst_fuzzy(s, d):
         from liblevenshtein_rust_spark.functions.substitutions import SubstitutionSet
@@ -1153,6 +1170,53 @@ def oracle_sql() -> dict[str, str]:
         "CAST(round(1000.0 * (SELECT count(*) FROM hits WHERE dist <= d) / "
         "(SELECT count(*) FROM corpus)) AS BIGINT) AS recall_milli "
         "FROM ds"
+    )
+
+    # corpus_recall_124k twin: regenerate the planted corpus with the
+    # same character arithmetic over the same 124k-word file, then score
+    # each (misspelling, correct) pair by direct DP — found@d must equal
+    # the Spark side's BLOCKED-join hit count at every threshold (the
+    # completeness proof, measured)
+    o["corpus_recall_124k"] = (
+        "WITH dict AS ("
+        "  SELECT trim(column0) AS w "
+        "  FROM read_csv('/root/reference/data/english_words.txt', "
+        "       header=false, columns={'column0': 'VARCHAR'}, "
+        "       quote='', delim='') "
+        "  WHERE length(trim(column0)) > 0), "
+        "base AS ("
+        "  SELECT DISTINCT w, length(w) AS L, "
+        "         ascii(substr(w,1,1))*31 + length(w)*7 "
+        "         + ascii(substr(w,length(w),1)) AS sel "
+        "  FROM dict "
+        "  WHERE length(w) BETWEEN 4 AND 12 "
+        "    AND regexp_full_match(w, '[A-Za-z]+')), "
+        "el AS (SELECT w, L, (sel // 61) % 3 AS nerr, "
+        "              (L*7 + ascii(substr(w,1,1))) % L + 1 AS p1 "
+        "       FROM base WHERE sel % 61 = 0), "
+        "m1t AS (SELECT w, L, nerr, "
+        "               substr(w,1,p1-1) || substr(w,p1+1) AS m1, "
+        "               (ascii(substr(w,L,1))*5) % (L-1) + 1 AS p2 "
+        "        FROM el), "
+        "m2t AS (SELECT w, L, nerr, m1, "
+        "               substr(m1,1,p2-1) || "
+        "               (CASE WHEN substr(m1,p2,1) = 'q' THEN 'z' "
+        "                ELSE 'q' END) || substr(m1,p2+1) AS m2 "
+        "        FROM m1t), "
+        "corpus AS (SELECT w AS correct, "
+        "                  CASE nerr WHEN 0 THEN m1 WHEN 1 THEN m2 "
+        "                  ELSE substr(m2,2) END AS misspelling "
+        "           FROM m2t), "
+        "pairs AS (SELECT DISTINCT misspelling, correct FROM corpus), "
+        "sc AS (SELECT misspelling, correct, "
+        "              levenshtein(misspelling, correct) AS dist FROM pairs), "
+        "ds AS (SELECT unnest(range(0, 4)) AS d) "
+        "SELECT CAST(d AS BIGINT) AS d, "
+        "CAST(sum(CASE WHEN dist <= d THEN 1 ELSE 0 END) AS BIGINT) AS found, "
+        "CAST(count(*) AS BIGINT) AS total, "
+        "CAST(round(1000.0 * sum(CASE WHEN dist <= d THEN 1 ELSE 0 END) "
+        "     / count(*)) AS BIGINT) AS recall_milli "
+        "FROM ds, sc GROUP BY d"
     )
 
     o["embedding_topk"] = (

@@ -44,6 +44,11 @@ HEADLINE = [
     "substring_fuzzy_d1",
     "near_dup_dedup_docs",
     "doc_quality",
+    # reference-scale validation: 1.6k planted misspellings fuzzy-joined
+    # (d<=3) against the reference's own 123,985-word dictionary — the
+    # cost of a real 124k-term natural-language join, not an sf-scaled
+    # table (identical at every SF)
+    "corpus_recall_124k",
 ]
 
 

@@ -57,6 +57,57 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: the reference's 123,985-word English dictionary — the corpus its own
+#: published recall targets are validated on
+#: (/root/reference/tests/corpus_validation.rs:22-28, runner :127-150;
+#: dictionary file data/english_words.txt)
+EN_WORDS_PATH = "/root/reference/data/english_words.txt"
+
+
+def planted_error_corpus(words: DataFrame, text_col: str = "term") -> DataFrame:
+    """Deterministic Mitton-style error corpus planted over a dictionary:
+    (correct, misspelling) pairs with 1..3 edits per word.
+
+    The reference validates recall on Mitton ``.dat`` corpora (Holbrook
+    86.6% @ d<=2, 100% @ d<=3, tests/corpus_validation.rs:22-28); those
+    files are download-only and absent, so this is the seeded stand-in at
+    the same dictionary scale. Unlike the RNG typo generator
+    (sources/transcripts.py), every choice here is CHARACTER ARITHMETIC —
+    word selection, edit count, and edit positions all derive from
+    (length, first char, last char) — so an ANSI-SQL twin regenerates the
+    identical corpus bit-for-bit and the driver can oracle the recall
+    numbers (the RNG path could never be replayed in SQL).
+
+    Edits per word (nerr+1 of them, so distance <= 3 always; >= 1 since
+    every chain starts with a deletion): a char deletion at p1, then for
+    nerr >= 1 a substitution at p2 (to 'q', or 'z' if already 'q' — never
+    a no-op), then for nerr = 2 a leading-char deletion. Selection keeps
+    4..12-char pure-alpha words (DuckDB's levenshtein is byte-level;
+    non-ASCII words would diverge from our codepoint-level kernel) with
+    sel % 61 == 0 — ~1.3% of the 124k dictionary, ~1.6k pairs.
+    """
+    return (
+        words.select(F.col(text_col).alias("w")).distinct()
+        .where(F.expr("length(w) BETWEEN 4 AND 12 AND w rlike '^[A-Za-z]+$'"))
+        .withColumn("L", F.length("w"))
+        .withColumn("sel", F.expr(
+            "ascii(substr(w,1,1))*31 + length(w)*7 "
+            "+ ascii(substr(w,length(w),1))"))
+        .where(F.expr("sel % 61 = 0"))
+        .withColumn("nerr", F.expr("(sel div 61) % 3"))
+        .withColumn("p1", F.expr("(L*7 + ascii(substr(w,1,1))) % L + 1"))
+        .withColumn("m1", F.expr("substr(w,1,p1-1) || substr(w,p1+1)"))
+        .withColumn("p2", F.expr("(ascii(substr(w,L,1))*5) % (L-1) + 1"))
+        .withColumn("m2", F.expr(
+            "substr(m1,1,p2-1) || (CASE WHEN substr(m1,p2,1) = 'q' "
+            "THEN 'z' ELSE 'q' END) || substr(m1,p2+1)"))
+        .select(
+            F.col("w").alias("correct"),
+            F.expr("CASE nerr WHEN 0 THEN m1 WHEN 1 THEN m2 "
+                   "ELSE substr(m2,2) END").alias("misspelling"))
+    )
+
+
 def parse_mitton(lines: list[str]) -> list[tuple[str, str, int]]:
     """Mitton .dat format -> (correct, misspelling, frequency) rows.
 
@@ -89,11 +140,15 @@ def mitton_corpus_df(spark: SparkSession, lines: list[str]) -> DataFrame:
 
 
 def recall_at_d(corpus: DataFrame, dictionary: DataFrame, max_d: int,
-                variant: str = "standard", method: str = "deletion") -> DataFrame:
+                variant: str = "standard", method: str = "deletion",
+                persist: bool = False) -> DataFrame:
     """ValidationStats analog: for each distance d in 0..max_d, the
     fraction of misspellings whose correct word is returned by a fuzzy
     query at that threshold. Returns (d, found, total, recall_milli) with
-    integer recall in milli-units (float-free)."""
+    integer recall in milli-units (float-free). ``persist`` forwards to
+    the fuzzy join — set it when the dictionary is a live derivation
+    (e.g. the 124k-word file read + distinct), which the join otherwise
+    re-runs for each of its two reads."""
     queries = corpus.select(
         F.col("misspelling").alias("q_id"),
         F.col("misspelling").alias("q_text"),
@@ -101,7 +156,7 @@ def recall_at_d(corpus: DataFrame, dictionary: DataFrame, max_d: int,
     ).dropDuplicates(["q_id", "correct"])
     matches = fuzzy_join(
         queries.select("q_id", "q_text").dropDuplicates(["q_id"]),
-        dictionary, n=max_d, variant=variant, method=method)
+        dictionary, n=max_d, variant=variant, method=method, persist=persist)
     hits = queries.join(
         matches.select(F.col("q_id"), F.col("term"), F.col("distance")),
         (queries["q_id"] == matches["q_id"]) & (queries["correct"] == matches["term"]),
