@@ -287,7 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fuzzy_pairs_turns_d2"] = lambda s, d: _term_pairs(s, d, 2)
     q["fuzzy_multimap"] = lambda s, d: _fuzzy_multimap(s, d)
     q["merge_split_words_d1"] = lambda s, d: (
-        # no SQL oracle: merge_and_split has no DuckDB equivalent
+        # oracled via d=1 bounded enumeration (merge/split window grid)
         fuzzy_join(_queries_df(s, ["rn", "m", "cl", "d", "comer"]),
                    _dict27_df(s)
                    .unionByName(_dict27_df(s).sparkSession.createDataFrame(
@@ -1172,6 +1172,88 @@ def oracle_sql() -> dict[str, str]:
         "FROM ds"
     )
 
+    # subst_fuzzy_phonetic twin: at n=1 the non-transitive pair semantics
+    # ARE SQL-expressible by bounded enumeration — same-length pairs cost
+    # their paid positional mismatches (free pairs cost 0; realignment
+    # would need >= 2 indels > 1); length-diff-1 pairs cost 1 iff some
+    # single deletion of the longer leaves extended-equal strings
+    from liblevenshtein_rust_spark.functions.substitutions import SubstitutionSet
+    _subst_pairs = ", ".join(
+        f"('{a}','{b}')"
+        for a, b in sorted(SubstitutionSet.phonetic_basic().pairs))
+    o["subst_fuzzy_phonetic"] = (
+        f"WITH pairs(a,b) AS (VALUES {_subst_pairs}), "
+        "d(term) AS (VALUES ('phone'),('cat'),('zone'),('seat'),('kite')), "
+        "q(query) AS (VALUES ('fone'),('kat'),('cite')), "
+        "cand AS (SELECT query, term FROM q, d "
+        "         WHERE abs(length(query)-length(term)) <= 1), "
+        "ps AS (SELECT CAST(unnest(range(1, 9)) AS INT) AS i), "
+        "slp AS (SELECT c.query, c.term, p.i, "
+        "               substr(c.query, p.i, 1) AS qc, "
+        "               substr(c.term, p.i, 1) AS tc "
+        "        FROM cand c, ps p "
+        "        WHERE length(c.query) = length(c.term) "
+        "          AND p.i <= length(c.query)), "
+        "slc AS (SELECT s.query, s.term, "
+        "               CASE WHEN s.qc = s.tc OR pr.a IS NOT NULL "
+        "               THEN 0 ELSE 1 END AS cost "
+        "        FROM slp s LEFT JOIN pairs pr "
+        "        ON pr.a = s.qc AND pr.b = s.tc), "
+        "r1 AS (SELECT query, term, CAST(sum(cost) AS INT) AS distance "
+        "       FROM slc GROUP BY query, term HAVING sum(cost) <= 1), "
+        "dl AS (SELECT query, term, "
+        "  CASE WHEN length(query) > length(term) THEN query ELSE term END AS lng, "
+        "  CASE WHEN length(query) > length(term) THEN term ELSE query END AS shr "
+        "  FROM cand WHERE abs(length(query) - length(term)) = 1), "
+        "delv AS (SELECT d.query, d.term, d.shr, j.i AS j, "
+        "                substr(d.lng, 1, j.i - 1) || substr(d.lng, j.i + 1) AS lv "
+        "         FROM dl d, ps j WHERE j.i <= length(d.lng)), "
+        "dlp AS (SELECT v.query, v.term, v.j, p.i, "
+        "               substr(v.shr, p.i, 1) AS qc, substr(v.lv, p.i, 1) AS tc "
+        "        FROM delv v, ps p WHERE p.i <= length(v.shr)), "
+        "dlc AS (SELECT s.query, s.term, s.j, "
+        "               CASE WHEN s.qc = s.tc OR pr.a IS NOT NULL "
+        "               THEN 0 ELSE 1 END AS cost "
+        "        FROM dlp s LEFT JOIN pairs pr "
+        "        ON pr.a = s.qc AND pr.b = s.tc), "
+        "dok AS (SELECT query, term, j FROM dlc "
+        "        GROUP BY query, term, j HAVING sum(cost) = 0), "
+        "r2 AS (SELECT DISTINCT query, term, CAST(1 AS INT) AS distance FROM dok) "
+        "SELECT * FROM r1 UNION ALL SELECT * FROM r2"
+    )
+
+    # merge_split_words_d1 twin: at d=1 the merge/split DP enumerates —
+    # a merge consumes ANY 2 chars of the query for ANY 1 char of the
+    # term (distance/mod.rs:707-723), so d<=1 iff equal, one standard
+    # edit, one merge window, or one split window (grid over boundaries)
+    _ms_dict = ", ".join(
+        f"('{t}')" for t in DICT27 + ["m", "rn", "d", "cl", "corner"])
+    o["merge_split_words_d1"] = (
+        f"WITH d(term) AS (VALUES {_ms_dict}), "
+        "q(query) AS (VALUES ('rn'),('m'),('cl'),('d'),('comer')), "
+        "cand AS (SELECT DISTINCT query, term FROM q, d "
+        "         WHERE abs(length(query)-length(term)) <= 1), "
+        "ks AS (SELECT CAST(unnest(range(0, 9)) AS INT) AS i), "
+        "mg AS (SELECT c.query, c.term FROM cand c, ks k "
+        "       WHERE length(c.query) = length(c.term) + 1 "
+        "         AND k.i <= length(c.query) - 2 "
+        "         AND substr(c.query, 1, k.i) = substr(c.term, 1, k.i) "
+        "         AND substr(c.query, k.i + 3) = substr(c.term, k.i + 2)), "
+        "sp AS (SELECT c.query, c.term FROM cand c, ks k "
+        "       WHERE length(c.term) = length(c.query) + 1 "
+        "         AND k.i <= length(c.term) - 2 "
+        "         AND substr(c.query, 1, k.i) = substr(c.term, 1, k.i) "
+        "         AND substr(c.query, k.i + 2) = substr(c.term, k.i + 3)), "
+        "hits AS ("
+        "  SELECT query, term, 0 AS distance FROM cand WHERE query = term "
+        "  UNION SELECT query, term, 1 FROM cand "
+        "        WHERE query <> term AND levenshtein(query, term) = 1 "
+        "  UNION SELECT query, term, 1 FROM mg "
+        "  UNION SELECT query, term, 1 FROM sp) "
+        "SELECT query, term, CAST(min(distance) AS INT) AS distance "
+        "FROM hits GROUP BY query, term"
+    )
+
     # corpus_recall_124k twin: regenerate the planted corpus with the
     # same character arithmetic over the same 124k-word file, then score
     # each (misspelling, correct) pair by direct DP — found@d must equal
@@ -1235,9 +1317,9 @@ def oracle_sql() -> dict[str, str]:
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) >= 0.35"
     )
-    # rows-only (non-SQL-expressible): merge_split_words_d1 (merge-split
-    # DP), subst_fuzzy_phonetic (non-transitive pair semantics),
-    # minhash_near_dup / simhash_near_dup (hash blocking),
-    # embedding_topk_lsh / embedding_topk_ivf / embedding_near_dup_lsh
-    # (approximate by construction) — each pytest-verified instead
+    # rows-only (non-SQL-expressible): minhash_near_dup / simhash_near_dup
+    # (hash blocking), embedding_topk_lsh / embedding_topk_ivf /
+    # embedding_near_dup_lsh (approximate by construction) — each
+    # pytest-verified instead. (merge_split_words_d1 and
+    # subst_fuzzy_phonetic gained bounded-enumeration oracles in r3.)
     return o
