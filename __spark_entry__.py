@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select(F.col("q_text").alias("query"), "term", "distance", "rank")
     )
     q["union_merge_dicts"] = lambda s, d: _union_merge(s, d)
+    q["union_replace_dicts"] = lambda s, d: _union_replace(s, d)
 
     # --- set ops / clustering ---
     q["term_clusters_d1"] = lambda s, d: _term_clusters(s, d)
@@ -723,6 +724,22 @@ def _union_merge(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _union_replace(s: SparkSession, d: str) -> DataFrame:
+    """union_replace over the same role dictionaries as union_merge:
+    the assistant side's frequency REPLACES the user side's on conflict
+    (mod.rs:443-461 last-wins), instead of merging."""
+    from liblevenshtein_rust_spark.operators.fuzzy_join import union_replace
+    ct = _canon_turns(s, d)
+
+    def wf(role):
+        return (ct.where(F.col("role") == role)
+                .select(F.explode(F.split("canon_text", " ")).alias("w"))
+                .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+
+    return (union_replace(wf("user"), wf("assistant"), key="w")
+            .select(F.col("w").alias("term"), "freq"))
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -820,6 +837,17 @@ def oracle_sql() -> dict[str, str]:
         "u AS (SELECT w, count(*) AS freq FROM wu GROUP BY w "
         "      UNION ALL SELECT w, count(*) FROM wa GROUP BY w) "
         "SELECT w AS term, CAST(sum(freq) AS BIGINT) AS freq FROM u GROUP BY w"
+    )
+
+    o["union_replace_dicts"] = (
+        f"WITH {_TRANSCRIPTS_CTE.strip()}, "
+        "wu AS (SELECT unnest(string_split(canon_text, ' ')) AS w FROM ct WHERE role = 'user'), "
+        "wa AS (SELECT unnest(string_split(canon_text, ' ')) AS w FROM ct WHERE role = 'assistant'), "
+        "u AS (SELECT w, count(*) AS freq FROM wu GROUP BY w), "
+        "a AS (SELECT w, count(*) AS freq FROM wa GROUP BY w) "
+        "SELECT w AS term, CAST(freq AS BIGINT) AS freq FROM a "
+        "UNION ALL SELECT w, CAST(freq AS BIGINT) FROM u "
+        "WHERE w NOT IN (SELECT w FROM a)"
     )
 
     o["term_clusters_d1"] = (

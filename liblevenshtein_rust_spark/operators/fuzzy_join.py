@@ -68,6 +68,22 @@ def build_dictionary(df: DataFrame, text_col: str = "text",
     )
 
 
+def union_replace(base: DataFrame, other: DataFrame,
+                  key: str = "term") -> DataFrame:
+    """Dictionary union with REPLACE semantics: every row of ``other``
+    plus the rows of ``base`` whose key is absent from ``other`` — the
+    other side's value wins outright on conflict, no merge function.
+
+    The replace-semantics sibling of union_with
+    (/root/reference/src/dictionary/mod.rs:443-461; union_with's Spark
+    mapping is unionByName + groupBy(key).agg(merge), SURVEY §2.6).
+    Inputs are term-keyed dictionaries (distinct key per side — the
+    Dictionary contract); one anti-join on the key, broadcastable when
+    ``other`` is a small delta, AQE re-plans it at runtime.
+    """
+    return base.join(other.select(key), key, "left_anti").unionByName(other)
+
+
 def _seg_k(n: int, variant: str) -> int:
     # one straddling swap / merge / split can damage two adjacent segments,
     # so non-standard variants need the standard-distance bound 2n

@@ -268,3 +268,20 @@ def test_broadcast_join_duplicate_query_rows_collapse(spark):
     a = fuzzy_join(qs, dict_df, n=1, method="deletion").collect()
     b = fuzzy_broadcast_join(qs, dict_df, n=1).collect()
     assert len(a) == len(b) == 1
+
+
+def test_union_replace_last_wins(spark):
+    """union_replace: other's value replaces base's on key conflict, no
+    merge (/root/reference/src/dictionary/mod.rs:443-461)."""
+    from liblevenshtein_rust_spark.operators.fuzzy_join import union_replace
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["term", "freq"])
+    other = spark.createDataFrame([("b", 20), ("d", 40)], ["term", "freq"])
+    got = {(r.term, r.freq) for r in union_replace(base, other).collect()}
+    assert got == {("a", 1), ("b", 20), ("c", 3), ("d", 40)}
+    # empty other is the identity; empty base yields other
+    empty = other.where("false")
+    assert {tuple(r) for r in union_replace(base, empty).collect()} == \
+        {("a", 1), ("b", 2), ("c", 3)}
+    assert {tuple(r) for r in union_replace(empty, other).collect()} == \
+        {("b", 20), ("d", 40)}
