@@ -494,6 +494,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("q_text").alias("query"), "term",
             F.round(F.col("cost") * 1000).cast("int").alias("cost_milli"))
     q["weighted_fuzzy"] = _weighted_fuzzy
+
+    # multi-char weighted ops IN THE SCALE PATH (r2 VERDICT gap #2): the
+    # reference's ph→f ⟨2,1,weight⟩ digraph (operation_set.rs:78-240)
+    # through the blocked weighted join + vectorized kernel. Oracled:
+    # at max_cost 1.0 with plain ops at 1.0 and the digraph at 0.5, the
+    # only feasible scripts on this fixture are {} (0), one digraph
+    # rewrite (500 milli), or one plain edit (1000 milli) — each term
+    # has at most one ph/f site, so the rewrite branch is exactly a
+    # replace() equality test in SQL
+    def _weighted_multichar(s, d):
+        from liblevenshtein_rust_spark.functions.weighted import WeightedOps
+        from liblevenshtein_rust_spark.operators.fuzzy_join import (
+            weighted_fuzzy_join)
+        ops = WeightedOps(string_ops=(("ph", "f", 0.5),))
+        dict_df = s.createDataFrame(
+            [(t, t) for t in ["phone", "fone", "graph", "graf", "photo",
+                              "tone", "stone"]], ["term_id", "term"])
+        qs = s.createDataFrame(
+            [(t, t) for t in ["fone", "graph", "foto"]], ["q_id", "q_text"])
+        matched = weighted_fuzzy_join(qs, dict_df, max_cost=1.0, ops=ops)
+        return matched.select(
+            F.col("q_text").alias("query"), "term",
+            F.round(F.col("cost") * 1000).cast("int").alias("cost_milli"))
+    q["weighted_fuzzy_multichar"] = _weighted_multichar
     q["phonetic_keys"] = lambda s, d: (
         _term_df(s, d).select("term", phonetic_canon("term").alias("pkey"))
     )
@@ -939,6 +963,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query, term, CAST(least(coalesce(c_plain, 99999), "
         "coalesce(c_rest, 99999)) AS INT) AS cost_milli FROM costs "
         "WHERE least(coalesce(c_plain, 99999), coalesce(c_rest, 99999)) <= 1000"
+    )
+
+    o["weighted_fuzzy_multichar"] = (
+        "WITH d(term) AS (VALUES ('phone'),('fone'),('graph'),('graf'),"
+        "('photo'),('tone'),('stone')), "
+        "q(query) AS (VALUES ('fone'),('graph'),('foto')), "
+        "c AS (SELECT query, term, "
+        "  CASE WHEN query = term THEN 0 END AS c0, "
+        "  CASE WHEN levenshtein(query, term) = 1 THEN 1000 END AS c1, "
+        "  CASE WHEN query <> term AND (replace(query,'ph','f') = term "
+        "       OR replace(term,'ph','f') = query) THEN 500 END AS c2 "
+        "  FROM q, d) "
+        "SELECT query, term, CAST(least(coalesce(c0, 99999), "
+        "coalesce(c1, 99999), coalesce(c2, 99999)) AS INT) AS cost_milli "
+        "FROM c WHERE least(coalesce(c0, 99999), coalesce(c1, 99999), "
+        "coalesce(c2, 99999)) <= 1000"
     )
 
     o["near_dup_dedup_docs"] = (

@@ -42,13 +42,24 @@ class WeightedOps:
     """Operation weights. ``None`` disables an optional op. ``restricted``
     is a tuple of (frozenset of char pairs, weight) substitution classes;
     the effective substitution cost of (x, y) is the minimum over the
-    default and every class containing the pair (symmetric)."""
+    default and every class containing the pair (symmetric).
+
+    ``string_ops`` is a tuple of multi-char restricted operations
+    (x_str, y_str, weight) ⟨consume_x, consume_y, weight⟩ — e.g.
+    ("ph", "f", 0.15), the reference's phonetic digraph example
+    (/root/reference/src/transducer/operation_set.rs:78-240). Applied
+    symmetrically (x in a & y in b, or swapped). Each side consumes 1 or
+    2 chars (the reference's op shapes: 2↔1 digraphs, 1↔2 splits, 2↔2
+    handled by ``transpose``); weights must be > 0 — a free multi-char
+    rewrite would make the blocking envelope unbounded, exactly like a
+    zero-weight indel."""
 
     insert: float = 1.0
     delete: float = 1.0
     substitute: float = 1.0
     transpose: float | None = None
     restricted: tuple = field(default_factory=tuple)
+    string_ops: tuple = field(default_factory=tuple)
 
     def __post_init__(self):
         if self.insert <= 0 or self.delete <= 0:
@@ -59,6 +70,20 @@ class WeightedOps:
         for pairs, w in self.restricted:
             if w < 0:
                 raise ValueError("restricted class weight must be >= 0")
+        for x, y, w in self.string_ops:
+            if not (1 <= len(x) <= 2 and 1 <= len(y) <= 2):
+                raise ValueError(
+                    f"string op ({x!r}, {y!r}) sides must consume 1 or 2 "
+                    f"chars (reference op shapes; 2↔2 swaps are 'transpose')")
+            if w <= 0:
+                raise ValueError("string op weights must be > 0")
+
+    @classmethod
+    def phonetic_digraphs(cls, weight: float = 0.15) -> "WeightedOps":
+        """Digraph rewrites at reduced cost (operation_set.rs phonetic
+        example ph→f ⟨2,1,0.15⟩ and friends)."""
+        return cls(string_ops=(("ph", "f", weight), ("ck", "k", weight),
+                               ("gh", "g", weight)))
 
     def sub_cost(self, x: str, y: str) -> float:
         if x == y:
@@ -98,7 +123,9 @@ def weighted_distance_py(a: str, b: str, ops: WeightedOps,
     tuples (x_str, y_str, weight) applied when a/b locally end with
     x_str/y_str — e.g. ("ph", "f", 0.15) (operation_set.rs phonetic
     example). Applied in BOTH directions (x in a & y in b, or swapped),
-    matching SubstitutionSet.allow_str symmetry."""
+    matching SubstitutionSet.allow_str symmetry. Defaults to
+    ``ops.string_ops`` when not given explicitly."""
+    string_ops = tuple(string_ops) or ops.string_ops
     m, n = len(a), len(b)
     big = float("inf")
     D = [[big] * (n + 1) for _ in range(m + 1)]
@@ -146,9 +173,17 @@ def weighted_batch_distance(a: pd.Series, b: pd.Series, max_cost: float,
     """Banded float DP across a batch. Returns float64: the exact cost
     where <= max_cost, else ``max_cost + 1.0``.
 
-    Band half-width h = floor(max_cost / min(insert, delete)): a cell at
-    diagonal offset |k| needs >= |k| indels, costing > max_cost beyond h —
-    the weighted version of the unit kernel's 2n+1 band."""
+    Band half-width h = floor(max_cost / cheapest per-unit length
+    change): a cell at diagonal offset |k| needs |k| units of net length
+    change, each costing >= min(insert, delete, cheapest UNEVEN string
+    op) — a ⟨2,1⟩ digraph changes length by 1 at its own weight, so the
+    band must widen when such ops undercut the indels. The weighted
+    version of the unit kernel's 2n+1 band.
+
+    ``ops.string_ops`` ⟨consume_x, consume_y, weight⟩ transitions read
+    row i-len(x) at band slot k + len(x) - len(y) (both directions, like
+    the py oracle); with sides consuming 1..2 chars only the prev /
+    two-ago rows the transpose path already keeps are needed."""
     from liblevenshtein_rust_spark.functions.distance import _encode_batch
 
     B = len(a)
@@ -156,9 +191,19 @@ def weighted_batch_distance(a: pd.Series, b: pd.Series, max_cost: float,
     out = np.full(B, sent, dtype=np.float64)
     if B == 0:
         return out
-    h = int(np.floor(max_cost / min(ops.insert, ops.delete)))
+    uneven = [w for x, y, w in ops.string_ops if len(x) != len(y)]
+    grow_unit = min([ops.insert] + uneven)     # cheapest +1 length / unit
+    shrink_unit = min([ops.delete] + uneven)   # cheapest -1 length / unit
+    h = int(np.floor(max_cost / min(grow_unit, shrink_unit)))
     W = 2 * h + 1
     rk = _restricted_keys(ops)
+    # both directions, pre-encoded: (len_x, len_y, x codepoints,
+    # y codepoints, weight)
+    sops = []
+    for x, y, w in ops.string_ops:
+        for xs, ys in {(x, y), (y, x)}:
+            sops.append((len(xs), len(ys), [ord(c) for c in xs],
+                         [ord(c) for c in ys], float(w)))
     BIG = np.float64(1e30)
 
     ac, al = _encode_batch(a)
@@ -170,6 +215,8 @@ def weighted_batch_distance(a: pd.Series, b: pd.Series, max_cost: float,
     bl = bl.astype(np.int64)
 
     out[(al == 0) & (bl == 0)] = 0.0
+    # string ops consume >= 1 char on BOTH sides, so empty-side rows are
+    # pure indel chains regardless of sops
     only_b = (al == 0) & (bl > 0)
     only_a = (bl == 0) & (al > 0)
     vb = bl[only_b] * ops.insert
@@ -177,8 +224,8 @@ def weighted_batch_distance(a: pd.Series, b: pd.Series, max_cost: float,
     va = al[only_a] * ops.delete
     out[only_a] = np.where(va <= max_cost + 1e-9, va, sent)
     active = ((al > 0) & (bl > 0)
-              & ((bl - al) * ops.insert <= max_cost + 1e-12)
-              & ((al - bl) * ops.delete <= max_cost + 1e-12))
+              & ((bl - al) * grow_unit <= max_cost + 1e-12)
+              & ((al - bl) * shrink_unit <= max_cost + 1e-12))
     if not active.any():
         return out
     idx = np.nonzero(active)[0]
@@ -231,6 +278,36 @@ def weighted_batch_distance(a: pd.Series, b: pd.Series, max_cost: float,
                         != np.broadcast_to(a_im1, b_j.shape))
                      & (jb >= 2))
             best = np.where(tr_ok, np.minimum(best, two_ago + ops.transpose), best)
+
+        for lx, ly, xcodes, ycodes, w in sops:
+            if i < lx:
+                continue
+            # a-side chars a[i-lx .. i-1] == x: one bool per batch row
+            a_ok = np.ones(Ba, dtype=bool)
+            for t, code in enumerate(xcodes):
+                a_ok &= ac[:, i - lx + t] == code
+            if not a_ok.any():
+                continue
+            # b-side chars b[j-ly .. j-1] == y: per band slot
+            b_ok = jb >= ly
+            for t, code in enumerate(ycodes):
+                jcol = np.clip(jb - ly + t, 0, max(lmax_b - 1, 0))
+                bchar = np.take_along_axis(bc, jcol, axis=1) if lmax_b \
+                    else np.zeros((Ba, W), bc.dtype)
+                b_ok = b_ok & (bchar == code)
+            # source = row i-lx at slot k + lx - ly
+            src_row = prev if lx == 1 else two_ago
+            s = lx - ly
+            if s == 0:
+                src = src_row
+            elif s > 0:
+                src = np.concatenate(
+                    [src_row[:, s:], np.full((Ba, s), BIG)], axis=1)
+            else:
+                src = np.concatenate(
+                    [np.full((Ba, -s), BIG), src_row[:, :s]], axis=1)
+            mask = a_ok[:, None] & b_ok & valid
+            best = np.where(mask, np.minimum(best, src + w), best)
 
         curr = np.where(valid, best, BIG)
         for k in range(1, W):

@@ -374,20 +374,23 @@ def fuzzy_multimap(matches: DataFrame, values: DataFrame,
 
 def weighted_edit_envelope(ops, max_cost: float) -> int:
     """Unit-edit envelope of a weighted-cost threshold: any pair with
-    weighted cost <= max_cost is connected by an edit script of at most
-    floor(max_cost / w_min) operations, where w_min is the cheapest
-    POSITIVE operation weight (insert/delete are always > 0 per
-    WeightedOps' Theorem-8.2 guard; substitute/transpose/restricted
-    classes participate when positive). The script's ops are all standard
-    or transposition edits, so the unit-cost blocking machinery at
-    n = envelope is a recall-lossless candidate generator for the
-    weighted join (the weighted analog of the automaton-degree bound,
+    weighted cost <= max_cost is connected by a STANDARD/OSA edit script
+    of at most floor(max_cost * max_i(se_i / w_i)) operations, where
+    each weighted op i costs w_i and expands to se_i unit edits — 1 for
+    insert/delete/substitute/restricted classes and transpose (the
+    blocking variant is OSA when transpose is enabled), and
+    max(consume_x, consume_y) for a multi-char string op (a ⟨2,1⟩
+    digraph is one substitution plus one deletion). The unit-cost
+    blocking machinery at n = envelope is therefore a recall-lossless
+    candidate generator for the weighted join (the weighted analog of
+    the automaton-degree bound,
     /root/reference/src/transducer/operation_set.rs:78-240).
 
     A zero-weight restricted class would make the envelope unbounded
     (any number of free substitutions) — that case must be expressed as
     a unit-cost ``substitutions=SubstitutionSet`` canonicalization
-    instead, and is rejected here."""
+    instead, and is rejected here (zero-weight string ops are rejected
+    by WeightedOps itself)."""
     import math
 
     weights = [ops.insert, ops.delete]
@@ -401,7 +404,10 @@ def weighted_edit_envelope(ops, max_cost: float) -> int:
             "zero-weight operations make the edit envelope unbounded; "
             "model free substitutions with SubstitutionSet canonicalization "
             "(fuzzy_join(substitutions=...)) instead")
-    return int(math.floor(float(max_cost) / min(weights)))
+    rates = [1.0 / w for w in weights if w is not None]
+    rates.extend(max(len(x), len(y)) / w
+                 for x, y, w in getattr(ops, "string_ops", ()))
+    return int(math.floor(float(max_cost) * max(rates)))
 
 
 def weighted_fuzzy_join(
@@ -452,10 +458,15 @@ def weighted_fuzzy_join(
     with_text = _attach_texts(pairs, queries, dictionary,
                               q_id, q_text, d_id, d_text)
     # JVM prefilters before the Arrow kernel: a length delta of k costs
-    # >= k * min(insert, delete); and the unit envelope bounds the plain
-    # Levenshtein distance (early-abort codegen check, -1 above bound).
+    # >= k * (cheapest per-unit length change — an UNEVEN string op like
+    # ph→f changes length by 1 at its own weight); and the unit envelope
+    # bounds the plain Levenshtein distance (early-abort codegen check,
+    # -1 above bound).
     import math
-    len_tol = int(math.floor(float(max_cost) / min(ops.insert, ops.delete)))
+    uneven = [w for x, y, w in getattr(ops, "string_ops", ())
+              if len(x) != len(y)]
+    len_tol = int(math.floor(
+        float(max_cost) / min([ops.insert, ops.delete] + uneven)))
     with_text = with_text.where(
         F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(len_tol))
     if variant == STANDARD:

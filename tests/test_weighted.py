@@ -166,3 +166,83 @@ def test_weighted_fuzzy_join_envelope_cap(spark):
         fj.weighted_fuzzy_join(
             qs, qs.selectExpr("q_id as term_id", "q_text as term"),
             max_cost=1.0, ops=WeightedOps.ocr())  # envelope 5 > cap 4
+
+
+def test_multichar_string_op_vectors_kernel():
+    """The vectorized kernel handles ⟨consume_x, consume_y, weight⟩
+    string ops (operation_set.rs:78-240 digraphs) — r2 VERDICT gap #2."""
+    ops = WeightedOps(string_ops=(("ph", "f", 0.15),))
+    assert math.isclose(_batch_one("phone", "fone", 1.0, ops), 0.15)
+    assert math.isclose(_batch_one("fone", "phone", 1.0, ops), 0.15)  # symmetric
+    assert math.isclose(_batch_one("graph", "graf", 1.0, ops), 0.15)
+    assert math.isclose(_batch_one("phph", "ff", 1.0, ops), 0.30)     # two sites
+    assert math.isclose(_batch_one("phone", "phone", 1.0, ops), 0.0)
+    assert math.isclose(_batch_one("phone", "pone", 1.0, ops), 1.0)   # plain del
+    # digraphs at both ends plus a plain edit in the middle
+    ops2 = WeightedOps(string_ops=(("ph", "f", 0.25),))
+    assert math.isclose(_batch_one("phxph", "fyf", 1.5, ops2), 1.5)
+    # 1<->2 split direction and a 2<->2-shaped pair via transpose stay exact
+    ops3 = WeightedOps(transpose=0.5, string_ops=(("ae", "e", 0.2),))
+    for a, b in [("aeon", "eon"), ("eon", "aeon"), ("ab", "ba")]:
+        assert math.isclose(_batch_one(a, b, 2.0, ops3),
+                            weighted_distance_py(a, b, ops3))
+
+
+_SOPS = st.sampled_from([
+    (), (("ph", "f", 0.15),), (("ab", "c", 0.3),),
+    (("a", "bc", 0.25),), (("ab", "cd", 0.4), ("b", "d", 0.2))])
+
+
+@settings(max_examples=300, deadline=None)
+@given(a=st.text(alphabet="abcdfph", max_size=8),
+       b=st.text(alphabet="abcdfph", max_size=8),
+       sops=_SOPS,
+       transpose=st.sampled_from([None, 0.5]),
+       mc=st.sampled_from([0.5, 1.0, 2.5]))
+def test_batch_matches_py_oracle_string_ops(a, b, sops, transpose, mc):
+    ops = WeightedOps(transpose=transpose, string_ops=sops)
+    exact = weighted_distance_py(a, b, ops)
+    got = _batch_one(a, b, mc, ops)
+    if exact <= mc + 1e-9:
+        assert math.isclose(got, exact, abs_tol=1e-9), (a, b, sops, mc)
+    else:
+        assert math.isclose(got, mc + 1.0), (a, b, sops, mc, exact)
+
+
+def test_weighted_envelope_counts_string_op_unit_edits():
+    from liblevenshtein_rust_spark.operators.fuzzy_join import (
+        weighted_edit_envelope)
+    # a ⟨2,1⟩ op at 0.5 is 2 unit edits per 0.5 cost -> rate 4/unit
+    ops = WeightedOps(string_ops=(("ph", "f", 0.5),))
+    assert weighted_edit_envelope(ops, 1.0) == 4
+    # plain ops still dominate when cheaper per unit edit
+    assert weighted_edit_envelope(WeightedOps(substitute=0.25), 1.0) == 4
+
+
+def test_weighted_fuzzy_join_multichar_parity_vs_bruteforce(spark):
+    """Blocked weighted join with a digraph class == brute force."""
+    import importlib
+    fj = importlib.import_module(
+        "liblevenshtein_rust_spark.operators.fuzzy_join")
+
+    ops = WeightedOps(string_ops=(("ph", "f", 0.5),))
+    max_cost = 1.0  # envelope = floor(1.0 * 2/0.5) = 4
+    words = ["phone", "fone", "graph", "graf", "photo", "foto", "tone",
+             "phgraph", "fgraf", "zzz", "pone", "phphx"]
+    dct = spark.createDataFrame(
+        [(w, w) for w in words], "term_id string, term string")
+    qs = spark.createDataFrame(
+        [(q, q) for q in ["fone", "graph", "foto", "phph"]],
+        "q_id string, q_text string")
+    got = {
+        (r["q_id"], r["term"], round(r["cost"], 4))
+        for r in fj.weighted_fuzzy_join(
+            qs, dct, max_cost=max_cost, ops=ops).collect()
+    }
+    expect = set()
+    for q in ["fone", "graph", "foto", "phph"]:
+        for t in words:
+            c = weighted_distance_py(q, t, ops)
+            if c <= max_cost:
+                expect.add((q, t, round(c, 4)))
+    assert got == expect and expect
