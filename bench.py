@@ -373,9 +373,15 @@ def _round_history() -> str:
                 d = json.load(f)
             d = d.get("parsed", d)  # driver wraps the JSON line in 'parsed'
             cold = d.get("cold_value")
+            # r1 predates the steady/cold methodology AND ran a smaller
+            # query set — its total sits in the steady column but is not
+            # comparable to later rounds on either axis
+            meth = ("single cold-ish runs — NON-COMPARABLE"
+                    if path.endswith("_r01.json") else "min-of-2 steady")
             rows.append(f"| {os.path.basename(path)} | {d.get('value')} "
                         f"| {cold if cold is not None else 'n/a'} "
-                        f"| {d.get('sf')} | {len(d.get('queries', {}))} |")
+                        f"| {d.get('sf')} | {len(d.get('queries', {}))} "
+                        f"| {meth} |")
         except Exception:
             continue
     note = (
@@ -392,8 +398,9 @@ def _round_history() -> str:
     if not rows:
         return note + "(no recorded rounds yet)"
     return (note
-            + "| round file | steady total (s) | cold total (s) | sf | #queries |\n"
-            + "|---|---|---|---|---|\n" + "\n".join(rows))
+            + "| round file | steady total (s) | cold total (s) | sf "
+              "| #queries | methodology |\n"
+            + "|---|---|---|---|---|---|\n" + "\n".join(rows))
 
 
 def _write_baseline_md(out: dict) -> None:
