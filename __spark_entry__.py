@@ -557,6 +557,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return recall_at_d(corpus, words, 3, method="auto", persist=True)
     q["corpus_recall_124k"] = _corpus_recall_124k
 
+    # THE NORTH-RULE METRIC, driver-oracled: pairwise F1 on labeled pairs
+    # at the engine's own blocking key. Deterministic labeled corpus
+    # (entity codes pairwise >= 6 edits apart, planted d<=1 mentions +
+    # d=2 decoys — sources/corpus.synthetic_entity_mentions), full
+    # pipeline shape (deletion-key blocked fuzzy self-join at d<=1 ->
+    # connected components -> predicted clusters), then the distributed
+    # pairwise metric (operators/linkage_eval.pairwise_f1: three
+    # aggregations, no pair materialization). An exactly-correct engine
+    # scores f1_milli = 1000; any blocking/verify/clustering defect moves
+    # the number, and the DuckDB twin recomputes it independently.
+    def _linkage_f1(s, d):
+        from liblevenshtein_rust_spark.operators.cluster import (
+            connected_components)
+        from liblevenshtein_rust_spark.operators.linkage_eval import pairwise_f1
+        from liblevenshtein_rust_spark.sources.corpus import (
+            synthetic_entity_mentions)
+        n_docs = s.read.parquet(f"{d}/documents.parquet").count()
+        m = synthetic_entity_mentions(s, min(2000, n_docs))
+        texts = (m.select(F.col("text").alias("term")).distinct()
+                 .withColumn("term_id", F.col("term")))
+        pairs = fuzzy_self_join(texts, n=1, method="deletion", persist=True)
+        comp = connected_components(pairs, texts.select("term_id"),
+                                    src="id_a", dst="id_b",
+                                    node_col="term_id")
+        labeled = m.join(comp, m["text"] == comp["term_id"])
+        return pairwise_f1(labeled, truth_col="entity", pred_col="entity_id")
+    q["linkage_f1"] = _linkage_f1
+
     # --- restricted zero-cost substitutions (rows-only: no SQL analog) ---
     def _subst_fuzzy(s, d):
         from liblevenshtein_rust_spark.functions.substitutions import SubstitutionSet
@@ -1367,6 +1395,64 @@ def oracle_sql() -> dict[str, str]:
         "CAST(round(1000.0 * sum(CASE WHEN dist <= d THEN 1 ELSE 0 END) "
         "     / count(*)) AS BIGINT) AS recall_milli "
         "FROM ds, sc GROUP BY d"
+    )
+
+    # linkage_f1 twin: regenerate the labeled mention corpus with the same
+    # index arithmetic (n = least(2000, |documents|)), recompute d<=1
+    # mention pairs by direct levenshtein (length-band pruned), cluster by
+    # recursive-CTE transitive closure, and evaluate pairwise F1 with the
+    # identical integer-milli closed form (F1 = 2tp/(P+T), floor division)
+    o["linkage_f1"] = (
+        "WITH RECURSIVE ids AS ("
+        "  SELECT CAST(unnest(generate_series(0, "
+        "    (SELECT CAST(least(2000, count(*)) AS INT) - 1 FROM documents)"
+        "  )) AS INT) AS i), "
+        "codes AS (SELECT i, "
+        "  repeat(chr(97 + (i // 676) % 26), 6) || "
+        "  repeat(chr(97 + (i // 26) % 26), 6) || "
+        "  repeat(chr(97 + i % 26), 6) AS code FROM ids), "
+        "pos AS (SELECT i, code, i % 18 + 1 AS p1, (i + 5) % 18 + 1 AS p2, "
+        "  (i + 9) % 18 + 1 AS q1, (i + 14) % 18 + 1 AS q2 FROM codes), "
+        "dec0 AS (SELECT i, code, q2, "
+        "  substr(code,1,q1-1) || '1' || substr(code,q1+1) AS s1 "
+        "  FROM pos WHERE i % 5 = 0), "
+        "m AS ("
+        "  SELECT code || '#0' AS mention_id, code AS text, code AS entity "
+        "  FROM pos "
+        "  UNION ALL SELECT code || '#1', "
+        "    substr(code,1,p1-1) || substr(code,p1+1), code FROM pos "
+        "  UNION ALL SELECT code || '#2', "
+        "    substr(code,1,p2-1) || '1' || substr(code,p2+1), code "
+        "  FROM pos WHERE i % 3 = 0 "
+        "  UNION ALL SELECT code || '#d', "
+        "    substr(s1,1,q2-1) || '1' || substr(s1,q2+1), code || '!' "
+        "  FROM dec0), "
+        "texts AS (SELECT DISTINCT text FROM m), "
+        "pp AS (SELECT a.text AS ta, b.text AS tb FROM texts a, texts b "
+        "  WHERE a.text < b.text "
+        "    AND abs(length(a.text) - length(b.text)) <= 1 "
+        "    AND levenshtein(a.text, b.text) <= 1), "
+        "edges AS (SELECT ta AS a, tb AS b FROM pp "
+        "  UNION ALL SELECT tb, ta FROM pp), "
+        "reach(src, dst) AS (SELECT text, text FROM texts "
+        "  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), "
+        "cl AS (SELECT src AS text, min(dst) AS entity_id "
+        "  FROM reach GROUP BY src), "
+        "lab AS (SELECT m.mention_id, m.entity, cl.entity_id "
+        "  FROM m JOIN cl USING (text)), "
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS n_mentions, "
+        "  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS true_pairs "
+        "  FROM (SELECT count(*) AS n FROM lab GROUP BY entity)), "
+        "p AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pred_pairs "
+        "  FROM (SELECT count(*) AS n FROM lab GROUP BY entity_id)), "
+        "tpx AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp "
+        "  FROM (SELECT count(*) AS n FROM lab GROUP BY entity, entity_id)) "
+        "SELECT n_mentions, true_pairs, pred_pairs, tp, "
+        "  CAST((1000 * tp) // greatest(pred_pairs, 1) AS BIGINT) AS prec_milli, "
+        "  CAST((1000 * tp) // greatest(true_pairs, 1) AS BIGINT) AS rec_milli, "
+        "  CAST((2000 * tp) // greatest(pred_pairs + true_pairs, 1) AS BIGINT) "
+        "    AS f1_milli "
+        "FROM t, p, tpx"
     )
 
     o["embedding_topk"] = (

@@ -187,3 +187,71 @@ def recall_at_d(corpus: DataFrame, dictionary: DataFrame, max_d: int,
             .cast("long").alias("recall_milli"),
         )
     )
+
+
+def synthetic_entity_mentions(spark: SparkSession, n_entities: int) -> DataFrame:
+    """Deterministic labeled record-linkage corpus: (mention_id, text, entity).
+
+    The north-rule metric is pairwise F1 on labeled pairs at a fixed
+    blocking key. Natural vocabularies cannot carry a clean label oracle
+    (real words sit within d<=1 of each other, so "truth" and "what a
+    d<=1 closure computes" diverge for reasons unrelated to engine
+    correctness). This corpus makes the labels provable: each entity is a
+    3-digit base-26 code with every digit written as a 6-char run
+    (18 chars), so DISTINCT entity codes differ in at least one whole run
+    and sit at Levenshtein distance >= 6 from each other. Planted
+    mentions stay within 2 edits of their code, hence cross-entity
+    mention distance >= 2 > 1: a d<=1 transitive closure that is exactly
+    correct scores F1 = 1.000, and ANY deviation (blocking recall miss,
+    verify false-positive, clustering bug) moves the metric.
+
+    Per entity i (all positions are index arithmetic — an ANSI-SQL twin
+    regenerates the corpus bit-for-bit, same pattern as
+    ``planted_error_corpus``):
+
+    - ``#0`` the code itself, and ``#1`` a 1-char deletion at p1 —
+      always (so every entity has a true pair to recall);
+    - ``#2`` a 1-char substitution at p2 — every 3rd entity;
+    - ``#d`` a DECOY at exactly d=2 (substitutions at q1 and q2),
+      labeled as its own singleton entity — every 5th entity. Linking a
+      decoy is a precision bug; missing a variant is a recall bug.
+
+    The four edit positions are pairwise distinct (offsets 0/5/9/14 mod
+    18), and substitutions write the digit ``'1'`` — a character that can
+    never appear in a letter-run code. A letter substitution can blend
+    into an adjacent run (e.g. 'o'->'q' beside a q-run extends the run,
+    which put a decoy at d=1 from the deletion variant on the first build
+    of this corpus); a digit cannot, so no mention collides with or sits
+    d<=1 from another mention except the planted #0<->#1/#2 pairs.
+    """
+    if n_entities < 1:
+        raise ValueError("n_entities must be >= 1")
+    base = (
+        spark.range(int(n_entities)).select(F.col("id").cast("int").alias("i"))
+        .withColumn("code", F.expr(
+            "repeat(char(97 + (i div 676) % 26), 6) || "
+            "repeat(char(97 + (i div 26) % 26), 6) || "
+            "repeat(char(97 + i % 26), 6)"))
+        .withColumn("p1", F.expr("i % 18 + 1"))
+        .withColumn("p2", F.expr("(i + 5) % 18 + 1"))
+        .withColumn("q1", F.expr("(i + 9) % 18 + 1"))
+        .withColumn("q2", F.expr("(i + 14) % 18 + 1"))
+    )
+    sub = "substr({s},1,{p}-1) || '1' || substr({s},{p}+1)"
+    m0 = base.select(F.expr("code || '#0'").alias("mention_id"),
+                     F.col("code").alias("text"),
+                     F.col("code").alias("entity"))
+    m1 = base.select(F.expr("code || '#1'").alias("mention_id"),
+                     F.expr("substr(code,1,p1-1) || substr(code,p1+1)")
+                     .alias("text"),
+                     F.col("code").alias("entity"))
+    m2 = base.where("i % 3 = 0").select(
+        F.expr("code || '#2'").alias("mention_id"),
+        F.expr(sub.format(s="code", p="p2")).alias("text"),
+        F.col("code").alias("entity"))
+    decoy = (base.where("i % 5 = 0")
+             .withColumn("s1", F.expr(sub.format(s="code", p="q1")))
+             .select(F.expr("code || '#d'").alias("mention_id"),
+                     F.expr(sub.format(s="s1", p="q2")).alias("text"),
+                     F.expr("code || '!'").alias("entity")))
+    return m0.unionByName(m1).unionByName(m2).unionByName(decoy)
