@@ -341,14 +341,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", fingerprint("text").alias("fp"))
     q["exact_dedup_docs"] = lambda s, d: exact_dedup(_docs(s, d))
     q["jaccard_near_dup"] = lambda s, d: token_jaccard_pairs(
-        _docs(s, d), group_col="lang", min_ratio_milli=900)
+        _docs(s, d), group_col="lang", min_ratio_milli=900, persist=True)
     # end-to-end dedup: jaccard pairs -> connected components -> keep the
     # min-id doc per near-dup cluster (the training-data pipeline end game)
     def _near_dup_dedup(s, d):
         from liblevenshtein_rust_spark.operators.dedup import near_dup_dedup
         docs = _docs(s, d)
         pairs = token_jaccard_pairs(docs, group_col="lang",
-                                    min_ratio_milli=900)
+                                    min_ratio_milli=900, persist=True)
         return near_dup_dedup(docs, pairs).select("doc_id", "lang", "n_removed")
     q["near_dup_dedup_docs"] = _near_dup_dedup
 
@@ -584,6 +584,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         labeled = m.join(comp, m["text"] == comp["term_id"])
         return pairwise_f1(labeled, truth_col="entity", pred_col="entity_id")
     q["linkage_f1"] = _linkage_f1
+
+    # INCREMENTAL cluster maintenance (DynamicDawg analog at the linkage
+    # level): batch 1 = even-length corpus words, clustered from scratch;
+    # batch 2 = odd-length words folded in via incremental_components,
+    # which reclusters ONLY components touched by the new edges. Deletion
+    # edges always cross the length-parity split, so batch 2 both merges
+    # existing components and creates new ones — the hard paths. The
+    # oracle is the full-recompute d<=1 transitive closure over ALL
+    # words: the invariant is that incremental maintenance is
+    # indistinguishable from recomputation.
+    def _incremental_linkage(s, d):
+        from liblevenshtein_rust_spark.operators.cluster import (
+            incremental_components)
+        words = _word_freq(s, d).select("w").distinct()
+        b1 = (words.where("length(w) % 2 = 0")
+              .select(F.col("w").alias("term"))
+              .withColumn("term_id", F.col("term")))
+        b2 = (words.where("length(w) % 2 = 1")
+              .select(F.col("w").alias("term"))
+              .withColumn("term_id", F.col("term")))
+        allw = (words.select(F.col("w").alias("term"))
+                .withColumn("term_id", F.col("term")))
+        pairs1 = fuzzy_self_join(b1, n=1, method="deletion", persist=True)
+        state = connected_components(pairs1, b1.select("term_id"),
+                                     src="id_a", dst="id_b",
+                                     node_col="term_id")
+        new_pairs = (
+            fuzzy_join(b2.select(F.col("term").alias("q_text"))
+                       .withColumn("q_id", F.col("q_text")),
+                       allw, n=1, method="deletion", persist=True)
+            .where(F.col("q_id") != F.col("term_id"))
+            .select(F.least("q_id", "term_id").alias("id_a"),
+                    F.greatest("q_id", "term_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+        out = incremental_components(state, new_pairs,
+                                     new_nodes=b2.select("term_id"))
+        return out.select(F.col("term_id").alias("term"), "entity_id")
+    q["incremental_linkage"] = _incremental_linkage
 
     # --- restricted zero-cost substitutions (rows-only: no SQL analog) ---
     def _subst_fuzzy(s, d):
@@ -902,6 +940,15 @@ def oracle_sql() -> dict[str, str]:
         "WHERE w NOT IN (SELECT w FROM a)"
     )
 
+    # incremental_linkage twin: plain full-recompute closure over the word
+    # dictionary — the Spark side reaches the same assignment through
+    # batch-1 clustering + incremental_components over batch 2
+    o["incremental_linkage"] = (
+        f"WITH RECURSIVE {_TRANSCRIPTS_CTE.strip()}, {_WORDS_CTE.strip()}, "
+        "terms AS (SELECT DISTINCT w AS t FROM words), "
+        f"{_CLUSTERS_CTE.strip()} "
+        "SELECT term, entity_id FROM clusters"
+    )
     o["term_clusters_d1"] = (
         f"WITH RECURSIVE {_TRANSCRIPTS_CTE.strip()}, {_TERMS_CTE}, {_CLUSTERS_CTE.strip()} "
         "SELECT term, entity_id FROM clusters"

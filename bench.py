@@ -49,6 +49,9 @@ HEADLINE = [
     # cost of a real 124k-term natural-language join, not an sf-scaled
     # table (identical at every SF)
     "corpus_recall_124k",
+    # the north-rule metric end-to-end: labeled corpus -> blocked d<=1
+    # self-join -> CC -> distributed pairwise F1 (expect 1000 milli)
+    "linkage_f1",
 ]
 
 

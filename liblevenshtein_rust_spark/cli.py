@@ -64,6 +64,15 @@ def main(argv: list[str] | None = None) -> int:
     ip = sub.add_parser("info", help="dictionary/corpus stats")
     ip.add_argument("--dict", required=True)
 
+    # north-rule metric as an ops command: score a pipeline run's
+    # turn_entities output against labeled truth (same key columns)
+    ev = sub.add_parser("evaluate",
+                        help="pairwise linkage P/R/F1 vs labeled truth")
+    ev.add_argument("--pred", required=True,
+                    help="parquet with (conv_id, turn_idx, entity_id)")
+    ev.add_argument("--truth", required=True,
+                    help="parquet with (conv_id, turn_idx, entity_id)")
+
     # dictionary maintenance — the reference CLI's Convert / Insert /
     # Delete / Clear / Minimize commands (src/cli/args.rs:109-200), with
     # serialization formats mapped to text/parquet/json/csv tables
@@ -74,6 +83,11 @@ def main(argv: list[str] | None = None) -> int:
                     choices=[None, "text", "parquet", "json", "csv"])
     cv.add_argument("--out-format", default=None,
                     choices=[None, "text", "parquet", "json", "csv"])
+    # the reference's compressed serialization (gzip/protobuf wrappers,
+    # src/serialization/mod.rs:30-52) maps to Spark's columnar/file
+    # codecs: one flag, every output format
+    cv.add_argument("--compression", default=None,
+                    choices=[None, "none", "gzip", "snappy", "zstd"])
 
     for name, hlp in (("insert", "insert terms into a dictionary"),
                       ("delete", "delete terms from a dictionary")):
@@ -114,6 +128,18 @@ def main(argv: list[str] | None = None) -> int:
             bucket_by=args.bucket_by)
         res = run_pipeline(spark, turns, cfg)
         print(json.dumps({k: v for k, v in res["info"].items()}, default=str))
+        return 0
+
+    if args.cmd == "evaluate":
+        from pyspark.sql import functions as F
+        from liblevenshtein_rust_spark.operators.linkage_eval import pairwise_f1
+        pred = spark.read.parquet(args.pred).select(
+            "conv_id", "turn_idx", F.col("entity_id").alias("_pred"))
+        truth = spark.read.parquet(args.truth).select(
+            "conv_id", "turn_idx", F.col("entity_id").alias("_truth"))
+        labeled = pred.join(truth, ["conv_id", "turn_idx"])
+        row = pairwise_f1(labeled, truth_col="_truth", pred_col="_pred")
+        print(json.dumps(row.collect()[0].asDict()))
         return 0
 
     if args.cmd == "query":
@@ -172,7 +198,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "convert":
         df = _read_dict(spark, args.input, args.in_format)
-        _write_dict(df, args.output, args.out_format)
+        _write_dict(df, args.output, args.out_format,
+                    compression=args.compression)
         print(json.dumps({"terms": df.count(), "output": args.output}))
         return 0
 
@@ -228,9 +255,20 @@ def _read_dict(spark, path: str, fmt: str | None):
     return getattr(spark.read, fmt)(path).select("term")
 
 
-def _write_dict(df, path: str, fmt: str | None) -> None:
+def _write_dict(df, path: str, fmt: str | None,
+                compression: str | None = None) -> None:
+    """``compression`` passes straight through to the writer codec
+    (text/json/csv: gzip; parquet: snappy/gzip/zstd) — readers sniff
+    codecs transparently, so a compressed dictionary round-trips through
+    ``_read_dict`` unchanged."""
     fmt = _sniff_format(path, fmt)
     w = df.select("term").write.mode("overwrite")
+    if compression and compression != "none":
+        if fmt != "parquet" and compression != "gzip":
+            raise SystemExit(
+                f"--compression {compression} is parquet-only; "
+                f"{fmt} supports gzip")
+        w = w.option("compression", compression)
     if fmt == "text":
         w.text(path)
     elif fmt == "csv":

@@ -115,3 +115,68 @@ def connected_components(
     # deterministic: min label wins even if a round budget stopped short of
     # full convergence
     return assign.groupBy(node_col).agg(F.min("entity_id").alias("entity_id"))
+
+
+def incremental_components(
+    old_clusters: DataFrame,
+    new_pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "term_id",
+    new_nodes: DataFrame | None = None,
+    max_iterations: int = 20,
+    checkpoint=None,
+    delta: bool = False,
+) -> DataFrame:
+    """Fold a batch of new edges into an existing component assignment,
+    reclustering ONLY the touched components.
+
+    ``old_clusters`` is a converged (node_col, entity_id) assignment
+    (entity_id = min member id, as ``connected_components`` returns).
+    The result equals full ``connected_components`` over (all old edges
+    ∪ new edges ∪ all nodes) — proven by the star decomposition: the
+    (node -> entity) rows of a converged assignment are themselves edges
+    that exactly preserve each component's connectivity (the min label IS
+    a member), so the full graph is equivalent to star edges ∪ new
+    edges, and new edges can only affect components containing one of
+    their endpoints. Everything else keeps its old label untouched.
+
+    Per-batch cost is proportional to |touched components| + |new
+    edges|, not |total state| — the difference between a micro-batch
+    that stays O(batch) at 10^12-turn state and one that re-runs CC over
+    the full accumulated pair history (what ``incremental_upsert`` did
+    before this). Idempotent: replaying the same batch against the
+    already-updated assignment recomputes the identical labels.
+
+    ``new_nodes`` adds brand-new singleton nodes that appear in no pair
+    (fresh dictionary terms with no fuzzy match).
+
+    ``delta=True`` returns ONLY the touched-component assignments (new
+    nodes + every member of a component an edge landed in) instead of
+    the full state — the MERGE INTO payload for an Iceberg clusters
+    table. A plain-parquet deployment overwrites full state (O(total)
+    write per batch); the delta keeps the write O(batch) too.
+    """
+    edges = (new_pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"]))
+    endpoints = (edges.select(F.col("u").alias(node_col))
+                 .unionByName(edges.select(F.col("v").alias(node_col)))
+                 .distinct())
+    touched = (old_clusters.join(endpoints, node_col, "left_semi")
+               .select("entity_id").distinct())
+    sub_old = old_clusters.join(touched, "entity_id", "left_semi")
+    star = (sub_old.where(F.col(node_col) != F.col("entity_id"))
+            .select(F.col(node_col).alias("u"), F.col("entity_id").alias("v")))
+    sub_nodes = (sub_old.select(node_col).unionByName(endpoints).distinct())
+    if new_nodes is not None:
+        sub_nodes = sub_nodes.unionByName(
+            new_nodes.select(F.col(node_col))).distinct()
+    sub_assign = connected_components(
+        star.unionByName(edges), sub_nodes, src="u", dst="v",
+        node_col=node_col, max_iterations=max_iterations,
+        checkpoint=checkpoint)
+    if delta:
+        return sub_assign
+    untouched = old_clusters.join(touched, "entity_id", "left_anti")
+    return untouched.select(node_col, "entity_id").unionByName(sub_assign)

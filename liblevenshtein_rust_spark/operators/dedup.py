@@ -110,7 +110,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
 
 def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", group_col: str | None = None,
-                        min_ratio_milli: int = 600) -> DataFrame:
+                        min_ratio_milli: int = 600,
+                        persist: bool = False) -> DataFrame:
     """Exact token-set Jaccard join (no LSH — the exactness baseline):
     pairs (within ``group_col`` if given) whose distinct-word Jaccard
     >= min_ratio_milli/1000. Integer-only output (id_a, id_b, n_common,
@@ -121,12 +122,19 @@ def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     |union| = |A| + |B| - |common|. Everything stays in whole-stage
     codegen; no per-pair array intersections. Only pairs sharing >= 1
     word are ever materialized (the set-similarity-join standard trick),
-    so disjoint documents cost nothing."""
+    so disjoint documents cost nothing.
+
+    ``persist`` caches the exploded token table (MEMORY_AND_DISK): the
+    plan reads it five times (sizes, rarity ranks, both prefix sides,
+    exact verify) and each read would otherwise re-run the scan +
+    canonicalize + explode lineage."""
     toks = docs.select(
         F.col(id_col).alias("_id"),
         (F.col(group_col) if group_col else F.lit(0)).alias("_g"),
         F.explode(F.array_distinct(F.split(canon_text(text_col), " "))).alias("_w"),
     )
+    if persist:
+        toks = toks.persist()
     sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
 
     # PPJoin prefix + positional + size filtering (Xiao/Wang/Lin/Yu,

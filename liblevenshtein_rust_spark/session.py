@@ -60,14 +60,21 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``).
-    On a real cluster this factory is bypassed by ``spark-submit`` — every
-    pipeline entry point accepts an externally built session.
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    ``*``) — but ONLY when no master was provided externally: under
+    ``spark-submit --master <cluster>`` the master arrives through the
+    submit-time SparkConf, and forcing ``local[*]`` here would silently
+    turn a cluster job into a single-node one. Every pipeline entry
+    point also accepts an externally built session.
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
-    builder = SparkSession.builder.appName(app_name).master(master)
+        from pyspark import SparkConf
+        if not SparkConf().get("spark.master", None):
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     conf = dict(_BASE_CONF)
     if extra_conf:
         conf.update(extra_conf)

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from liblevenshtein_rust_spark.functions.canonicalize import canon_text, term_id
-from liblevenshtein_rust_spark.operators.cluster import connected_components
+from liblevenshtein_rust_spark.operators.cluster import (
+    connected_components,
+    incremental_components,
+)
 from liblevenshtein_rust_spark.operators.fuzzy_join import (
     _candidates_from_keys,
     _keys_for,
@@ -90,8 +93,24 @@ def incremental_upsert(batch_df: DataFrame, state_dir: str, *,
     )
     all_pairs = all_pairs.localCheckpoint(eager=True)
 
-    clusters = connected_components(
-        all_pairs, all_terms, src="id_a", dst="id_b", node_col="term_id")
+    # cluster maintenance: with existing state, recluster ONLY components
+    # touched by this batch's edges (incremental_components — per-batch
+    # cost stays O(batch), not O(total state)); full CC only on the first
+    # batch. Idempotent under replay either way: reapplying the same
+    # edges to the already-updated assignment recomputes the same labels.
+    old_clusters = _read_state(spark, clusters_path)
+    if old_clusters is not None:
+        # materialize BEFORE overwriting: the incremental result derives
+        # from this very parquet directory, and overwrite deletes the
+        # files under a lazy plan (the CLI insert/delete guard, here for
+        # the clusters state)
+        old_clusters = old_clusters.localCheckpoint(eager=True)
+        clusters = incremental_components(
+            old_clusters, new_pairs, src="id_a", dst="id_b",
+            node_col="term_id", new_nodes=fresh.select("term_id"))
+    else:
+        clusters = connected_components(
+            all_pairs, all_terms, src="id_a", dst="id_b", node_col="term_id")
 
     # Commit order matters for replay safety: terms are written LAST. If the
     # job dies after pairs/clusters but before terms, the replayed batch

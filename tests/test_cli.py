@@ -51,6 +51,30 @@ def test_cli_pipeline(spark, tmp_path, capsys):
     assert os.path.exists(os.path.join(ck, "cli1", "turn_entities", "_SUCCESS"))
 
 
+def test_cli_evaluate(spark, tmp_path, capsys):
+    """pipeline -> evaluate: the transposition run on a seeded typo corpus
+    must score >= 990 milli-F1 against the generator's labels."""
+    from liblevenshtein_rust_spark.cli import main
+    from liblevenshtein_rust_spark.sources.transcripts import synth_transcripts
+
+    tdf, truth = synth_transcripts(spark, 300, seed=13, dup_frac=0.5,
+                                   max_edits=2)
+    inp, tr = str(tmp_path / "turns"), str(tmp_path / "truth")
+    tdf.write.parquet(inp)
+    truth.write.parquet(tr)
+    ck = str(tmp_path / "ckpt")
+    assert main(["pipeline", "--input", inp, "--checkpoint-dir", ck,
+                 "--run-id", "e1", "--max-distance", "2",
+                 "--variant", "transposition"]) == 0
+    capsys.readouterr()
+    assert main(["evaluate",
+                 "--pred", os.path.join(ck, "e1", "turn_entities"),
+                 "--truth", tr]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["n_mentions"] == 300
+    assert m["f1_milli"] >= 990, m
+
+
 def test_cli_convert_roundtrip(spark, tmp_path, capsys):
     from liblevenshtein_rust_spark.cli import main
 
@@ -68,6 +92,39 @@ def test_cli_convert_roundtrip(spark, tmp_path, capsys):
         if f.startswith("part-"):
             got |= set((tmp_path / "back.txt" / f).read_text().split())
     assert got == {"alpha", "beta", "gamma"}
+
+
+def test_cli_convert_compressed(spark, tmp_path, capsys):
+    """--compression maps the reference's gzip serialization wrapper to
+    writer codecs; compressed outputs must round-trip transparently."""
+    import pytest
+    from liblevenshtein_rust_spark.cli import main
+
+    src = tmp_path / "dict.txt"
+    src.write_text("alpha\nbeta\ngamma\n")
+    gz = str(tmp_path / "gz.txt")
+    assert main(["convert", "--input", str(src), "--output", gz,
+                 "--out-format", "text", "--compression", "gzip"]) == 0
+    capsys.readouterr()
+    assert any(f.endswith(".gz") for f in os.listdir(gz))
+    pq = str(tmp_path / "z.parquet")
+    assert main(["convert", "--input", gz, "--in-format", "text",
+                 "--output", pq, "--compression", "zstd"]) == 0
+    capsys.readouterr()
+    back = str(tmp_path / "back.txt")
+    assert main(["convert", "--input", pq, "--output", back,
+                 "--out-format", "text"]) == 0
+    capsys.readouterr()
+    got = set()
+    for f in os.listdir(back):
+        if f.startswith("part-"):
+            got |= set((tmp_path / "back.txt" / f).read_text().split())
+    assert got == {"alpha", "beta", "gamma"}
+    # zstd is parquet-only: text writers reject it loudly, not silently
+    with pytest.raises(SystemExit):
+        main(["convert", "--input", str(src), "--output",
+              str(tmp_path / "bad.txt"), "--out-format", "text",
+              "--compression", "zstd"])
 
 
 def test_cli_insert_delete_clear_minimize(spark, tmp_path, capsys):

@@ -85,3 +85,73 @@ def test_cc_giant_near_clique(spark):
              if (i + j) % 3 != 0]
     edges += [("s1", "s2")]
     _run(spark, edges, nodes)
+
+
+def _run_incremental(spark, old_edges, old_nodes, new_edges, fresh_nodes=()):
+    """incremental_components must equal full CC over the union graph."""
+    from liblevenshtein_rust_spark.operators.cluster import (
+        incremental_components)
+    edf = spark.createDataFrame(old_edges or [("x", "x")], ["id_a", "id_b"])
+    if not old_edges:
+        edf = edf.limit(0)
+    ndf = spark.createDataFrame([(n,) for n in old_nodes], ["term_id"])
+    old = connected_components(edf, ndf)
+    nedf = spark.createDataFrame(new_edges or [("x", "x")], ["id_a", "id_b"])
+    if not new_edges:
+        nedf = nedf.limit(0)
+    fresh = (spark.createDataFrame([(n,) for n in fresh_nodes], ["term_id"])
+             if fresh_nodes else None)
+    got_df = incremental_components(old, nedf, new_nodes=fresh)
+    got = {r.term_id: r.entity_id for r in got_df.collect()}
+    all_nodes = list(old_nodes) + list(fresh_nodes)
+    assert got == _oracle(list(old_edges) + list(new_edges), all_nodes)
+    # idempotence: reapplying the same batch to the updated state is a no-op
+    again = incremental_components(got_df, nedf, new_nodes=fresh)
+    assert {r.term_id: r.entity_id for r in again.collect()} == got
+
+
+def test_incremental_merges_two_components(spark):
+    _run_incremental(
+        spark,
+        [("a", "b"), ("c", "d"), ("e", "f")],
+        ["a", "b", "c", "d", "e", "f", "z"],
+        [("b", "c")])
+
+
+def test_incremental_fresh_nodes_and_singletons(spark):
+    _run_incremental(
+        spark,
+        [("a", "b")],
+        ["a", "b", "q"],
+        [("n1", "n2"), ("n2", "a")],
+        fresh_nodes=["n1", "n2", "n3"])
+
+
+def test_incremental_empty_batch(spark):
+    _run_incremental(spark, [("a", "b"), ("c", "d")],
+                     ["a", "b", "c", "d"], [])
+
+
+def test_incremental_random_graphs(spark):
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i:03d}" for i in range(80)]
+    all_edges = [tuple(sorted((f"n{a:03d}", f"n{b:03d}")))
+                 for a, b in rng.integers(0, 80, size=(120, 2)) if a != b]
+    cut = len(all_edges) * 2 // 3
+    _run_incremental(spark, all_edges[:cut], nodes, all_edges[cut:])
+
+
+def test_incremental_delta_is_touched_only(spark):
+    from liblevenshtein_rust_spark.operators.cluster import (
+        incremental_components)
+    old = connected_components(
+        spark.createDataFrame([("a", "b"), ("c", "d")], ["id_a", "id_b"]),
+        spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("z",)],
+                              ["term_id"]))
+    newp = spark.createDataFrame([("b", "n1")], ["id_a", "id_b"])
+    fresh = spark.createDataFrame([("n1",), ("n2",)], ["term_id"])
+    d = {r.term_id: r.entity_id
+         for r in incremental_components(old, newp, new_nodes=fresh,
+                                         delta=True).collect()}
+    # only the a-b component (touched via b), the fresh nodes — NOT c/d/z
+    assert d == {"a": "a", "b": "a", "n1": "a", "n2": "n2"}
