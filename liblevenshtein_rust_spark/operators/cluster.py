@@ -158,8 +158,15 @@ def incremental_components(
     table. A plain-parquet deployment overwrites full state (O(total)
     write per batch); the delta keeps the write O(batch) too.
     """
+    if checkpoint is None:
+        def checkpoint(df: DataFrame) -> DataFrame:  # noqa: ANN001
+            return df.localCheckpoint(eager=True)
     edges = (new_pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"]))
+    # the edge lineage is typically a fuzzy join — materialize once
+    # instead of re-deriving it for endpoints, the subgraph union, and
+    # the CC entry checkpoint
+    edges = checkpoint(edges)
     endpoints = (edges.select(F.col("u").alias(node_col))
                  .unionByName(edges.select(F.col("v").alias(node_col)))
                  .distinct())

@@ -35,6 +35,12 @@ def pairwise_f1(
     a predicted cluster column. Output columns (all long):
     n_mentions, true_pairs, pred_pairs, tp, prec_milli, rec_milli,
     f1_milli (floor division; 1000 = perfect).
+
+    Counts are BIGINT: n*(n-1)/2 overflows only past a ~4.3e9-member
+    cluster (ANSI mode raises rather than wrapping). Labeled evaluation
+    corpora are nowhere near that; a full-corpus degenerate cluster at
+    10^12 scale would be — dedupe exact duplicates (which this engine's
+    dictionary stage does by construction) before evaluating.
     """
     pairs_of = "sum(n * (n - 1) div 2)"
     t = (labeled.groupBy(truth_col).agg(F.count(F.lit(1)).alias("n"))
