@@ -623,6 +623,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(F.col("term_id").alias("term"), "entity_id")
     q["incremental_linkage"] = _incremental_linkage
 
+    # sorted-neighborhood blocking (Hernández-Stolfo merge/purge) — the
+    # second blocking paradigm: global rank by sort key (range-partition
+    # + per-partition row_number + P-row offset collect, no
+    # single-partition window), rank-band bucket join, codegen verify
+    def _sorted_neighborhood(s, d):
+        from liblevenshtein_rust_spark.operators.sorted_neighborhood import (
+            sorted_neighborhood_pairs)
+        words = (_word_freq(s, d).select(F.col("w").alias("term")).distinct()
+                 .withColumn("term_id", F.col("term")))
+        return (sorted_neighborhood_pairs(words, F.col("term"), window=5,
+                                          n=1)
+                .select(F.col("id_a").alias("term_a"),
+                        F.col("id_b").alias("term_b"), "distance"))
+    q["sorted_neighborhood_d1"] = _sorted_neighborhood
+
+    # blocking-scheme evaluation: reduction ratio + pairs completeness of
+    # sorted-neighborhood blocking (w=3, key = mention text) against the
+    # labeled mention corpus — quantifies the recall ceiling a lossy
+    # blocker imposes (deletion blocking's PC = 1.0 is proven separately
+    # by linkage_f1's perfect recall)
+    def _blocking_quality(s, d):
+        from liblevenshtein_rust_spark.operators.linkage_eval import (
+            blocking_quality)
+        from liblevenshtein_rust_spark.operators.sorted_neighborhood import (
+            sorted_neighborhood_pairs)
+        from liblevenshtein_rust_spark.sources.corpus import (
+            synthetic_entity_mentions)
+        n_docs = s.read.parquet(f"{d}/documents.parquet").count()
+        m = synthetic_entity_mentions(s, min(2000, n_docs))
+        texts = (m.select(F.col("text").alias("term")).distinct()
+                 .withColumn("term_id", F.col("term")))
+        cand = sorted_neighborhood_pairs(texts, F.col("term"), window=3)
+        return blocking_quality(cand, m, id_col="text", truth_col="entity")
+    q["blocking_quality"] = _blocking_quality
+
     # --- restricted zero-cost substitutions (rows-only: no SQL analog) ---
     def _subst_fuzzy(s, d):
         from liblevenshtein_rust_spark.functions.substitutions import SubstitutionSet
@@ -1449,8 +1484,11 @@ def oracle_sql() -> dict[str, str]:
     # mention pairs by direct levenshtein (length-band pruned), cluster by
     # recursive-CTE transitive closure, and evaluate pairwise F1 with the
     # identical integer-milli closed form (F1 = 2tp/(P+T), floor division)
-    o["linkage_f1"] = (
-        "WITH RECURSIVE ids AS ("
+    # shared by linkage_f1 and blocking_quality: the synthetic mention
+    # corpus regenerated by the same index arithmetic as
+    # sources/corpus.synthetic_entity_mentions (n = least(2000, |docs|))
+    _mention_cte = (
+        "ids AS ("
         "  SELECT CAST(unnest(generate_series(0, "
         "    (SELECT CAST(least(2000, count(*)) AS INT) - 1 FROM documents)"
         "  )) AS INT) AS i), "
@@ -1473,7 +1511,9 @@ def oracle_sql() -> dict[str, str]:
         "  FROM pos WHERE i % 3 = 0 "
         "  UNION ALL SELECT code || '#d', "
         "    substr(s1,1,q2-1) || '1' || substr(s1,q2+1), code || '!' "
-        "  FROM dec0), "
+        "  FROM dec0)")
+    o["linkage_f1"] = (
+        "WITH RECURSIVE " + _mention_cte + ", "
         "texts AS (SELECT DISTINCT text FROM m), "
         "pp AS (SELECT a.text AS ta, b.text AS tb FROM texts a, texts b "
         "  WHERE a.text < b.text "
@@ -1500,6 +1540,51 @@ def oracle_sql() -> dict[str, str]:
         "  CAST((2000 * tp) // greatest(pred_pairs + true_pairs, 1) AS BIGINT) "
         "    AS f1_milli "
         "FROM t, p, tpx"
+    )
+
+    # sorted_neighborhood_d1 twin: the SN definition is exactly
+    # reproducible in SQL — global rank by (key, id) + rank-band
+    # self-join + levenshtein verify. ASCII-only words order identically
+    # under Spark UTF8-binary and DuckDB default collation.
+    o["sorted_neighborhood_d1"] = (
+        f"WITH {_TRANSCRIPTS_CTE.strip()}, {_WORDS_CTE.strip()}, "
+        "t AS (SELECT DISTINCT w FROM words), "
+        "r AS (SELECT w, row_number() OVER (ORDER BY w) - 1 AS rk FROM t), "
+        "cand AS (SELECT a.w AS term_a, b.w AS term_b FROM r a JOIN r b "
+        "  ON b.rk > a.rk AND b.rk - a.rk <= 5) "
+        "SELECT term_a, term_b, "
+        "  CAST(levenshtein(term_a, term_b) AS INT) AS distance "
+        "FROM cand WHERE levenshtein(term_a, term_b) <= 1"
+    )
+
+    # blocking_quality twin: sorted-neighborhood candidates over the
+    # mention corpus, reduction ratio + pairs completeness in the same
+    # integer-milli arithmetic (mention texts are unique, so text IS the
+    # record id on both sides)
+    o["blocking_quality"] = (
+        "WITH RECURSIVE " + _mention_cte + ", "
+        "t AS (SELECT DISTINCT text FROM m), "
+        "r AS (SELECT text, row_number() OVER (ORDER BY text) - 1 AS rk "
+        "  FROM t), "
+        "cand AS (SELECT a.text AS ta, b.text AS tb FROM r a JOIN r b "
+        "  ON b.rk > a.rk AND b.rk - a.rk <= 3), "
+        "cov AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates, "
+        "  CAST(sum(CASE WHEN la.entity = lb.entity THEN 1 ELSE 0 END) "
+        "       AS BIGINT) AS covered "
+        "  FROM cand JOIN m la ON la.text = cand.ta "
+        "  JOIN m lb ON lb.text = cand.tb), "
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_records, "
+        "  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS true_pairs "
+        "  FROM (SELECT count(*) AS n FROM m GROUP BY entity)) "
+        "SELECT n_records, "
+        "  CAST(n_records * (n_records - 1) // 2 AS BIGINT) AS total_pairs, "
+        "  n_candidates, true_pairs, covered, "
+        "  CAST((1000 * (n_records * (n_records - 1) // 2 - n_candidates)) "
+        "    // greatest(n_records * (n_records - 1) // 2, 1) AS BIGINT) "
+        "    AS rr_milli, "
+        "  CAST((1000 * covered) // greatest(true_pairs, 1) AS BIGINT) "
+        "    AS pc_milli "
+        "FROM tt, cov"
     )
 
     o["embedding_topk"] = (

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pairwise_f1"]
+__all__ = ["blocking_quality", "pairwise_f1"]
 
 
 def pairwise_f1(
@@ -67,3 +67,57 @@ def pairwise_f1(
             .cast("long").alias("f1_milli"),
         )
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    labeled: DataFrame,
+    *,
+    id_col: str = "mention_id",
+    truth_col: str = "entity",
+) -> DataFrame:
+    """Standard blocking-scheme evaluation (record-linkage literature):
+    one row of reduction ratio and pairs completeness against labeled
+    truth.
+
+    - reduction ratio RR = 1 - |candidates| / (N choose 2): how much of
+      the quadratic comparison space the blocker prunes;
+    - pairs completeness PC = |candidates ∩ true pairs| / |true pairs|:
+      how many true matches survive blocking (the blocker's recall
+      ceiling — no downstream stage can recover a pair lost here).
+
+    Same aggregation-only shape as ``pairwise_f1``: true-pair counts via
+    sum n*(n-1)/2, candidate coverage via two label joins — nothing
+    quadratic materializes. ``candidates``: (id_a, id_b) in ``id_col``
+    values, any order/duplication (normalized here). All outputs long,
+    milli-scaled floor ratios.
+    """
+    cand = (candidates.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"]))
+    la = labeled.select(F.col(id_col).alias("id_a"),
+                        F.col(truth_col).alias("_ea"))
+    lb = labeled.select(F.col(id_col).alias("id_b"),
+                        F.col(truth_col).alias("_eb"))
+    cov = (cand.join(la, "id_a").join(lb, "id_b")
+           .agg(F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.when(F.col("_ea") == F.col("_eb"), 1).otherwise(0))
+                .alias("covered")))
+    t = (labeled.groupBy(truth_col).agg(F.count(F.lit(1)).alias("n"))
+         .agg(F.expr("sum(n)").alias("n_records"),
+              F.expr("sum(n * (n - 1) div 2)").alias("true_pairs")))
+    return (t.crossJoin(cov).select(
+        F.col("n_records").cast("long").alias("n_records"),
+        F.expr("n_records * (n_records - 1) div 2").cast("long")
+        .alias("total_pairs"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("true_pairs").cast("long").alias("true_pairs"),
+        F.col("covered").cast("long").alias("covered"),
+        F.expr("(1000 * (n_records * (n_records - 1) div 2 - n_candidates))"
+               " div greatest(n_records * (n_records - 1) div 2, 1)")
+        .cast("long").alias("rr_milli"),
+        F.expr("(1000 * covered) div greatest(true_pairs, 1)")
+        .cast("long").alias("pc_milli"),
+    ))
