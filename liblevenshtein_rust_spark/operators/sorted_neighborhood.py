@@ -56,15 +56,21 @@ def global_ranks(df: DataFrame, key, *, id_col: str,
     # prefix-summed into per-partition offsets
     counts = {r["_pid"]: r["n"] for r in
               d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for k in sorted(counts):
-        offsets[k] = acc
+        offsets.append((k, acc))
         acc += counts[k]
-    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]) \
-        if offsets else F.create_map()
-    return (d.withColumn("_rank", (F.col("_prank")
-                                   + omap[F.col("_pid")]).cast("long"))
-            .drop("_pid", "_prank"))
+    # offsets attach via a broadcast join (P rows): a create_map literal
+    # would inline 2P expressions into the plan, which stops scaling at
+    # the partition counts a 1000-executor job runs with
+    odf = d.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long")
+    if not offsets:
+        odf = odf.limit(0)
+    return (d.join(F.broadcast(odf), "_pid", "left")
+            .withColumn("_rank", (F.col("_prank") + F.col("_off"))
+                        .cast("long"))
+            .drop("_pid", "_prank", "_off"))
 
 
 def sorted_neighborhood_pairs(
