@@ -1,0 +1,71 @@
+"""Physical-plan regression guards: the properties BENCH/PLANS.md claims
+must stay true as code evolves — a silent Python hop or a lost pushdown
+in the hot path is a 10-100x regression at 100 TB that small-fixture
+correctness tests would never catch."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark.operators.fuzzy_join import (
+    fuzzy_join,
+    fuzzy_self_join,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _terms(spark, words):
+    return (spark.createDataFrame([(w,) for w in words], ["term"])
+            .withColumn("term_id", F.col("term")))
+
+
+WORDS = ["table", "stable", "tble", "stream", "steam", "deploy"]
+
+
+def test_standard_fuzzy_join_has_no_python_nodes(spark):
+    qs = spark.createDataFrame([("q1", "tble")], ["q_id", "q_text"])
+    plan = _plan(fuzzy_join(qs, _terms(spark, WORDS), n=1,
+                            method="deletion"))
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_transposition_fuzzy_join_arrow_nodes_bounded(spark):
+    import re
+    qs = spark.createDataFrame([("q1", "tble")], ["q_id", "q_text"])
+    plan = _plan(fuzzy_join(qs, _terms(spark, WORDS), n=1,
+                            variant="transposition", method="deletion"))
+    # one logical Arrow kernel; projection collapse may re-inline it into
+    # a filter+project pair (2 nodes — the accepted dual evaluation,
+    # BENCH/PLANS.md "Weighted kernel / IVF plans"). Anything beyond 2
+    # means a third Python hop crept into the verify path.
+    nodes = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert 1 <= len(nodes) <= 2, plan
+
+
+def test_self_join_scan_prunes_to_text_column(spark, tmp_path, sf_dir):
+    # parquet-backed dictionary: the blocked self-join must read only the
+    # columns it uses (ReadSchema pruning), and the key explode must hash
+    # before the exchange (no raw text in shuffle keys)
+    p = str(tmp_path / "turns")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .selectExpr("cast(doc_id as string) AS extra1",
+                    "lang AS extra2", "lower(text) AS text") \
+        .write.parquet(p)
+    turns = spark.read.parquet(p)
+    terms = (turns.select(F.col("text").alias("term")).distinct()
+             .withColumn("term_id", F.col("term")))
+    plan = _plan(fuzzy_self_join(terms, n=1, method="segment"))
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "extra1" not in ln and "extra2" not in ln, ln
+    assert "xxhash64" in plan
