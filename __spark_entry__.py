@@ -658,6 +658,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return blocking_quality(cand, m, id_col="text", truth_col="entity")
     q["blocking_quality"] = _blocking_quality
 
+    # third blocker under the same metric: phonetic-key equality (full
+    # Zompist chain) evaluated against the d<=1 transitive-closure labels
+    # over corpus words — how many true edit-distance pairs survive a
+    # blocker that buckets by pronunciation instead of edit structure
+    def _blocking_quality_phonetic(s, d):
+        from liblevenshtein_rust_spark.functions.canonicalize import (
+            zompist_canon)
+        from liblevenshtein_rust_spark.operators.cluster import (
+            connected_components)
+        from liblevenshtein_rust_spark.operators.linkage_eval import (
+            blocking_quality)
+        words = (_word_freq(s, d).select(F.col("w").alias("term")).distinct()
+                 .withColumn("term_id", F.col("term")))
+        pairs = fuzzy_self_join(words, n=1, method="deletion", persist=True)
+        labeled = connected_components(
+            pairs, words.select("term_id"), src="id_a", dst="id_b",
+            node_col="term_id")
+        keys = words.select("term", zompist_canon("term").alias("zkey"))
+        cand = (keys.alias("a").join(keys.alias("b"), "zkey")
+                .where(F.col("a.term") < F.col("b.term"))
+                .select(F.col("a.term").alias("id_a"),
+                        F.col("b.term").alias("id_b")))
+        return blocking_quality(cand, labeled, id_col="term_id",
+                                truth_col="entity_id")
+    q["blocking_quality_phonetic"] = _blocking_quality_phonetic
+
     # --- restricted zero-cost substitutions (rows-only: no SQL analog) ---
     def _subst_fuzzy(s, d):
         from liblevenshtein_rust_spark.functions.substitutions import SubstitutionSet
@@ -1325,6 +1351,38 @@ def oracle_sql() -> dict[str, str]:
     o["zompist_keys"] = (
         f"WITH {_TRANSCRIPTS_CTE.strip()}, {_WORDS_CTE.strip()} "
         f"SELECT DISTINCT w AS term, {_zk} AS zkey FROM wf"
+    )
+
+    # blocking_quality_phonetic twin: zompist-key-equality candidates,
+    # d<=1 closure labels (same clusters CTE as term-level queries,
+    # applied to words), identical metric arithmetic
+    _zkt = "t"
+    for pat, rep in ZOMPIST_RULES:
+        _zkt = f"regexp_replace({_zkt}, '{pat}', '{rep}', 'g')"
+    o["blocking_quality_phonetic"] = (
+        f"WITH RECURSIVE {_TRANSCRIPTS_CTE.strip()}, {_WORDS_CTE.strip()}, "
+        "terms AS (SELECT DISTINCT w AS t FROM words), "
+        f"{_CLUSTERS_CTE.strip()}, "
+        f"k AS (SELECT t, {_zkt} AS zkey FROM terms), "
+        "cand AS (SELECT a.t AS ta, b.t AS tb FROM k a JOIN k b "
+        "  ON a.zkey = b.zkey AND a.t < b.t), "
+        "cov AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates, "
+        "  CAST(sum(CASE WHEN ca.entity_id = cb.entity_id "
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS covered "
+        "  FROM cand JOIN clusters ca ON ca.term = cand.ta "
+        "  JOIN clusters cb ON cb.term = cand.tb), "
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_records, "
+        "  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS true_pairs "
+        "  FROM (SELECT count(*) AS n FROM clusters GROUP BY entity_id)) "
+        "SELECT n_records, "
+        "  CAST(n_records * (n_records - 1) // 2 AS BIGINT) AS total_pairs, "
+        "  n_candidates, true_pairs, covered, "
+        "  CAST((1000 * (n_records * (n_records - 1) // 2 - n_candidates)) "
+        "    // greatest(n_records * (n_records - 1) // 2, 1) AS BIGINT) "
+        "    AS rr_milli, "
+        "  CAST((1000 * covered) // greatest(true_pairs, 1) AS BIGINT) "
+        "    AS pc_milli "
+        "FROM tt, cov"
     )
 
     o["dict_stats"] = (
