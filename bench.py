@@ -250,7 +250,7 @@ def run_scale_job_dedup(cores: str, k: int = 32) -> None:
     corpus. Same pinning + corpus-materialization discipline as the
     flagship fuzzy leg."""
     from liblevenshtein_rust_spark.operators.dedup import (
-        near_dup_dedup, token_jaccard_pairs)
+        near_dup_dedup, token_jaccard_pairs, unpersist_inputs)
     try:
         os.sched_setaffinity(0, set(range(int(cores))))
     except (AttributeError, ValueError, OSError):
@@ -269,7 +269,12 @@ def run_scale_job_dedup(cores: str, k: int = 32) -> None:
                                     min_ratio_milli=900, persist=True)
         surv = near_dup_dedup(docs, pairs)
         n_surv = surv.count()
-        return time.time() - t0, n_surv
+        dt = time.time() - t0
+        # release the run's cached token table AFTER timing: each once()
+        # persists a fresh lineage, and leaked copies accumulate memory
+        # pressure across the 3-4 timed runs of a leg (ADVICE r3)
+        unpersist_inputs(pairs)
+        return dt, n_surv
 
     warm_dt, _ = once()
     d1, n_surv = once()

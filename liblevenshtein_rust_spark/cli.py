@@ -137,7 +137,22 @@ def main(argv: list[str] | None = None) -> int:
             "conv_id", "turn_idx", F.col("entity_id").alias("_pred"))
         truth = spark.read.parquet(args.truth).select(
             "conv_id", "turn_idx", F.col("entity_id").alias("_truth"))
-        labeled = pred.join(truth, ["conv_id", "turn_idx"])
+        # FULL OUTER on the turn key: an inner join would silently drop
+        # truth rows with no prediction (and vice versa), so a prediction
+        # file covering 1% of the turns could still score f1_milli=1000.
+        # Missing labels become per-row UNIQUE singleton ids: an uncovered
+        # truth mention contributes its true pairs to the denominator
+        # (recall misses), and a spurious predicted mention contributes
+        # its predicted pairs (precision misses).
+        labeled = (
+            pred.join(truth, ["conv_id", "turn_idx"], "full_outer")
+            .withColumn("_pred", F.coalesce(
+                "_pred", F.concat(F.lit("__nopred:"), "conv_id",
+                                  F.lit("/"), "turn_idx")))
+            .withColumn("_truth", F.coalesce(
+                "_truth", F.concat(F.lit("__notruth:"), "conv_id",
+                                   F.lit("/"), "turn_idx")))
+        )
         row = pairwise_f1(labeled, truth_col="_truth", pred_col="_pred")
         print(json.dumps(row.collect()[0].asDict()))
         return 0

@@ -127,7 +127,11 @@ def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     ``persist`` caches the exploded token table (MEMORY_AND_DISK): the
     plan reads it five times (sizes, rarity ranks, both prefix sides,
     exact verify) and each read would otherwise re-run the scan +
-    canonicalize + explode lineage."""
+    canonicalize + explode lineage. The cached table lives until
+    ``unpersist_inputs(result)`` (or ``spark.catalog.clearCache()``) —
+    callers that invoke this repeatedly in one JVM (benchmark loops)
+    must release it after materializing, or cached copies accumulate
+    for the JVM's lifetime."""
     toks = docs.select(
         F.col(id_col).alias("_id"),
         (F.col(group_col) if group_col else F.lit(0)).alias("_g"),
@@ -186,7 +190,7 @@ def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     )
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"))
-    return (
+    out = (
         common.join(sa, "id_a").join(sb, "id_b")
         .select(
             "id_a", "id_b",
@@ -195,6 +199,17 @@ def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         )
         .where(F.col("n_common") * 1000 >= min_ratio_milli * F.col("n_union"))
     )
+    if persist:
+        out._lls_persisted_inputs = [toks]
+    return out
+
+
+def unpersist_inputs(df: DataFrame) -> None:
+    """Release cached inputs a ``persist=True`` operator attached to its
+    result (currently: token_jaccard_pairs' exploded token table). Safe
+    on any DataFrame; call after the result is materialized."""
+    for cached in getattr(df, "_lls_persisted_inputs", []) or []:
+        cached.unpersist()
 
 
 def simhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",

@@ -66,8 +66,21 @@ def get_spark(
     submit-time SparkConf, and forcing ``local[*]`` here would silently
     turn a cluster job into a single-node one. Every pipeline entry
     point also accepts an externally built session.
+
+    Two distinct "externally provided" signals are honored, because in a
+    fresh spark-submit python driver no JVM exists yet and a driver-side
+    ``SparkConf()`` is an EMPTY local dict (the submitted spark.master
+    lives in a JVM system property this process cannot see until the
+    gateway launches):
+
+    1. ``PYSPARK_GATEWAY_PORT`` in the environment — spark-submit's
+       PythonRunner sets it when it launches the python driver against
+       an already-running gateway JVM. Calling ``.master()`` there would
+       override the submitted cluster master at getOrCreate.
+    2. A non-empty ``SparkConf().get("spark.master")`` — the same-process
+       case where a JVM (and its conf) already exists.
     """
-    if master is None:
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
         from pyspark import SparkConf
         if not SparkConf().get("spark.master", None):
             cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

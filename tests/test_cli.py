@@ -75,6 +75,31 @@ def test_cli_evaluate(spark, tmp_path, capsys):
     assert m["f1_milli"] >= 990, m
 
 
+def test_cli_evaluate_partial_coverage_penalized(spark, tmp_path, capsys):
+    """ADVICE r3 (medium): a prediction file covering only part of the
+    truth must NOT score perfect F1 — uncovered truth mentions are recall
+    misses (full-outer join + singleton fill), not silently dropped."""
+    import pyspark.sql.functions as F
+    from liblevenshtein_rust_spark.cli import main
+
+    # truth: 4 convs x 2 turns, each conv one entity (4 true pairs)
+    truth = spark.createDataFrame(
+        [(f"c{i}", t, f"e{i}") for i in range(4) for t in (0, 1)],
+        "conv_id string, turn_idx int, entity_id string")
+    # prediction covers ONLY conv c0 (perfectly); 3 true pairs uncovered
+    pred = truth.where(F.col("conv_id") == "c0")
+    tr, pr = str(tmp_path / "truth"), str(tmp_path / "pred")
+    truth.write.parquet(tr)
+    pred.write.parquet(pr)
+    assert main(["evaluate", "--pred", pr, "--truth", tr]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["n_mentions"] == 8          # all truth rows kept
+    assert m["true_pairs"] == 4
+    assert m["tp"] == 1                  # only c0's pair predicted
+    assert m["rec_milli"] == 250
+    assert m["f1_milli"] < 990, m
+
+
 def test_cli_convert_roundtrip(spark, tmp_path, capsys):
     from liblevenshtein_rust_spark.cli import main
 

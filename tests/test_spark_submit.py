@@ -62,3 +62,43 @@ def test_spark_submit_py_files_pipeline(spark, tmp_path):
     assert stages["turn_entities"]["rows"] == 120
     out = spark.read.parquet(os.path.join(ckpt, "s1", "turn_entities"))
     assert out.count() == 120 and "entity_id" in out.columns
+
+
+def test_spark_submit_master_is_not_overridden(tmp_path):
+    """ADVICE r3 (high): in a fresh spark-submit python driver, SparkConf()
+    is an empty local dict (no JVM yet), so the old guard could not see the
+    submitted --master and silently forced local[*]. get_spark() must honor
+    the submitted master — PYSPARK_GATEWAY_PORT marks the external gateway."""
+    submit = _spark_submit()
+    assert submit, "spark-submit not found"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    zpath = str(tmp_path / "lls.zip")
+    pkg = os.path.join(repo, "liblevenshtein_rust_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+
+    job = tmp_path / "print_master.py"
+    job.write_text(
+        "import json\n"
+        "from liblevenshtein_rust_spark.session import get_spark\n"
+        "spark = get_spark('master-probe')\n"
+        "print(json.dumps({'master': spark.sparkContext.master}))\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    # local[3] is distinguishable from both the local[*] default and the
+    # SPARK_GRAFT_CPUS test settings
+    proc = subprocess.run(
+        [submit, "--master", "local[3]", "--py-files", zpath, str(job)],
+        capture_output=True, text=True, timeout=240,
+        cwd=str(tmp_path), env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, proc.stdout
+    assert json.loads(lines[-1])["master"] == "local[3]"
