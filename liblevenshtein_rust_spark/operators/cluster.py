@@ -71,8 +71,14 @@ def connected_components(
     writer for kill-resume durability).
     """
     if checkpoint is None:
+        # Default: LAZY localCheckpoint — the convergence checksum is then
+        # the action that materializes the round's checkpoint, so the
+        # driver pays ONE action per checked round instead of two (eager
+        # checkpoint job + checksum job). Per-round driver latency is the
+        # serial Amdahl term that capped the dedup family's 2->8 scaling
+        # at ~0.5-0.8 in round 3 (BENCH/BASELINE.md).
         def checkpoint(df: DataFrame) -> DataFrame:  # noqa: ANN001
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=False)
 
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u") != F.col("v")
@@ -87,16 +93,24 @@ def connected_components(
             F.count(F.lit(1)).alias("c"),
         ).first()
 
-    # carry the previous round's checksum forward: ONE driver action per
-    # round (a scan of the just-checkpointed edges), not two
+    # Check convergence every SECOND round: the star maps decrease a
+    # monotone potential until fixpoint (Kiveris et al. SoCC'14), so no
+    # 2-cycles exist and checksum equality two rounds apart implies the
+    # fixpoint was reached. Cost: at most one redundant round of compute
+    # on already-converged (small) state; saving: half the checksum scans
+    # — and with the fused lazy checkpoints above, ONE driver action per
+    # two rounds total. The output stays deterministic either way (the
+    # final groupBy-min below settles labels even mid-convergence).
+    check_every = 2
     h_old = _checksum(edges)
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         edges2 = checkpoint(_small_star(_large_star(edges)))
-        h_new = _checksum(edges2)
         edges = edges2
-        if h_old == h_new:
-            break
-        h_old = h_new
+        if (it + 1) % check_every == 0 or it == max_iterations - 1:
+            h_new = _checksum(edges2)
+            if h_old == h_new:
+                break
+            h_old = h_new
 
     # after convergence every edge points node -> component root
     assign = edges.select(F.col("u").alias(node_col), F.col("v").alias("entity_id"))
