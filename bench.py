@@ -81,13 +81,45 @@ def _warmup(spark, em) -> None:
     for t in ("documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     em.queries()["token_stats"](spark, SF_DIR).count()
-    em.queries()["fuzzy_words_std_d2"](spark, SF_DIR).count()
+    em.queries()["fuzzy_words_d2"](spark, SF_DIR).count()
+
+
+def _bench_queries(em) -> dict:
+    """Registry queries plus bench-only callables for headline rows whose
+    registry entries were consolidated in r4 (the driver's 50-query check
+    window forced the merges; the bench keeps per-query comparability
+    with earlier rounds by timing the original shapes):
+    - corpus_recall_124k merged into recall_validation (driver) but stays
+      its own timed row here.
+    - minhash/simhash registry entries switched to hash="arith" for
+      DuckDB oracle replay; the bench keeps timing the PRODUCTION
+      xxhash64 path (what a 100-TB deployment runs)."""
+    def corpus_recall_124k(spark, sf_dir):
+        from liblevenshtein_rust_spark.sources.corpus import (
+            EN_WORDS_PATH, load_wordlist, planted_error_corpus, recall_at_d)
+        words = load_wordlist(spark, EN_WORDS_PATH)
+        return recall_at_d(planted_error_corpus(words), words, 3,
+                           method="auto", persist=True)
+
+    def minhash_near_dup(spark, sf_dir):
+        from liblevenshtein_rust_spark.operators.dedup import minhash_lsh_pairs
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+
+    def simhash_near_dup(spark, sf_dir):
+        from liblevenshtein_rust_spark.operators.dedup import simhash_pairs
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return simhash_pairs(docs, max_hamming=3)
+
+    return {**em.queries(), "corpus_recall_124k": corpus_recall_124k,
+            "minhash_near_dup": minhash_near_dup,
+            "simhash_near_dup": simhash_near_dup}
 
 
 def run_default() -> None:
     import __spark_entry__ as em
     spark = _spark(CPUS)
-    qs = em.queries()
+    qs = _bench_queries(em)
     _warmup(spark, em)
     # Each query runs twice: the first run pays one-time plan costs
     # (codegen compile for that plan shape, Python-worker numpy import,

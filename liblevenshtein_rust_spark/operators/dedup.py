@@ -35,11 +35,49 @@ def _shingles(text_col: str, k: int) -> F.Column:
     )
 
 
+# --- pluggable signature hash -------------------------------------------
+#
+# Production default is Spark's xxhash64 (JVM codegen, high quality). The
+# "arith" alternative is a polynomial rolling hash mod a 30-bit prime whose
+# arithmetic is expressible IDENTICALLY in DuckDB SQL (list_reduce over
+# ascii codes), so the driver's oracle can regenerate MinHash/SimHash
+# signatures bit-for-bit and cross-validate the LSH pipelines end-to-end —
+# the reference's own evidence standard is cross-validation between
+# independent implementations
+# (/root/reference/tests/proptest_automaton_distance_cross_validation.rs).
+# Weaker mixing than xxhash64, but min-wise/sign-hash estimates only need
+# pairwise-independent-ish permutations, which (a*h+b) mod p provides.
+
+P_ARITH = 1_000_000_007  # 30-bit prime: products a*h stay < 2^63 (ANSI-safe)
+
+
+def _arith_str_hash_sql(col: str) -> str:
+    """Spark SQL expr: polynomial rolling hash of ``col`` mod P_ARITH.
+    DuckDB twin: list_reduce(list_prepend(0, list_transform(range(1,
+    length(s)+1), i -> ascii(substr(s, i, 1)))), (a,b) -> (a*31+b) % p)."""
+    return (f"CASE WHEN length({col}) = 0 THEN 0L ELSE "
+            f"aggregate(sequence(1, length({col})), 0L, "
+            f"(acc, i) -> (acc * 31 + ascii(substring({col}, i, 1))) "
+            f"% {P_ARITH}) END")
+
+
+def perm_coeffs(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) coefficients for the j-th permutation
+    g_j(h) = (a_j * h + b_j) mod P_ARITH — shared by the Spark builders
+    and the SQL oracle generators so both engines derive identical
+    signatures."""
+    return [((2654435761 * (j + 1)) % P_ARITH or 1,
+             (40503 * (j + 1) * (j + 1) + 12345) % P_ARITH)
+            for j in range(n)]
+
+
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 32,
-                       shingle_k: int = 3) -> DataFrame:
-    """MinHash signature per doc: sig[h] = min over shingles of
-    xxhash64(shingle, seed=h).
+                       shingle_k: int = 3,
+                       hash: str = "xxhash64") -> DataFrame:
+    """MinHash signature per doc: sig[h] = min over shingles of the h-th
+    hash of the shingle (xxhash64(shingle, seed=h), or for
+    ``hash="arith"`` the SQL-replayable (a_h * H(s) + b_h) mod p).
 
     Physical shape matters here: explode shingles, hash each shingle once
     per seed as plain (codegen) column expressions, then ONE hash-aggregate
@@ -47,12 +85,26 @@ def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
     (transform/aggregate) are interpreted row-at-a-time in Spark and
     projection collapse would re-inline the shingle computation into every
     lambda — the explode+groupBy form keeps the whole path in whole-stage
-    codegen and map-side partial aggregation."""
-    sh = (
-        docs.select(F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("_s"))
-        .select(F.col(id_col),
-                *[F.xxhash64("_s", F.lit(h)).alias(f"_h{h}") for h in range(num_hashes)])
-    )
+    codegen and map-side partial aggregation. (The arith base hash is one
+    such lambda per shingle — acceptable for its purpose, oracle replay;
+    production stays on xxhash64.)"""
+    base = docs.select(F.col(id_col),
+                       F.explode(_shingles(text_col, shingle_k)).alias("_s"))
+    if hash == "xxhash64":
+        sh = base.select(
+            F.col(id_col),
+            *[F.xxhash64("_s", F.lit(h)).alias(f"_h{h}")
+              for h in range(num_hashes)])
+    elif hash == "arith":
+        coeffs = perm_coeffs(num_hashes)
+        sh = base.select(
+            F.col(id_col), F.expr(_arith_str_hash_sql("_s")).alias("_hb")
+        ).select(
+            F.col(id_col),
+            *[((F.lit(a) * F.col("_hb") + F.lit(b)) % P_ARITH).alias(f"_h{h}")
+              for h, (a, b) in enumerate(coeffs)])
+    else:
+        raise ValueError(f"unknown hash {hash!r}")
     agg = sh.groupBy(id_col).agg(
         *[F.min(f"_h{h}").alias(f"_m{h}") for h in range(num_hashes)])
     return agg.select(
@@ -63,7 +115,8 @@ def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 32,
                       bands: int = 8, shingle_k: int = 3,
-                      jaccard_threshold: float = 0.7) -> DataFrame:
+                      jaccard_threshold: float = 0.7,
+                      hash: str = "xxhash64") -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified with exact
     token-shingle Jaccard. Returns (id_a, id_b, n_common, n_union)
     with n_common/n_union >= threshold; integer counts keep downstream
@@ -72,14 +125,24 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     bands * rows_per_band == num_hashes; a pair collides if any band of
     the signature matches exactly (hashes of band slices are the block
     keys — same blocking pattern as the fuzzy join, different keys).
+
+    ``hash="arith"`` switches signatures to the SQL-replayable arithmetic
+    hash (and band keys to plain strings), so an independent engine can
+    regenerate the exact candidate set — the driver-oracle path.
     """
     rows_per = num_hashes // bands
     sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col,
-                              num_hashes=num_hashes, shingle_k=shingle_k)
-    band_keys = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"xxhash64(b, array_join(slice(signature, b * {rows_per} + 1, {rows_per}), ',')))"
-    )
+                              num_hashes=num_hashes, shingle_k=shingle_k,
+                              hash=hash)
+    if hash == "xxhash64":
+        band_key_sql = (
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"xxhash64(b, array_join(slice(signature, b * {rows_per} + 1, {rows_per}), ',')))")
+    else:
+        band_key_sql = (
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"concat(b, ':', array_join(slice(signature, b * {rows_per} + 1, {rows_per}), ',')))")
+    band_keys = F.expr(band_key_sql)
     keyed = sigs.select(F.col(id_col).alias("_bid"),
                         F.explode(band_keys).alias("_bkey"))
     l = keyed.withColumnRenamed("_bid", "id_a").alias("lk")
@@ -213,21 +276,45 @@ def unpersist_inputs(df: DataFrame) -> None:
 
 
 def simhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       hash: str = "xxhash64") -> DataFrame:
     """64-bit SimHash signature per doc: (id_col, sig).
 
     Bit b of the signature = sign of the per-bit vote:
-    vote[b] = sum over words of (bit b of xxhash64(word) ? +1 : -1).
+    vote[b] = sum over words of (bit b of hash(word) ? +1 : -1).
     Explode words, hash once, derive 64 vote columns as plain integer
     expressions, one hash-aggregate — all whole-stage codegen (see
-    minhash_signatures for why lambdas are avoided)."""
-    wh = (
-        docs.select(F.col(id_col), F.explode(F.split(canon_text(text_col), " ")).alias("_w"))
-        .select(F.col(id_col), F.xxhash64("_w").alias("_h"))
-        .select(F.col(id_col),
-                *[(F.when(F.shiftright("_h", b).bitwiseAND(1) == 1, 1)
-                   .otherwise(-1)).alias(f"_b{b}") for b in range(64)])
-    )
+    minhash_signatures for why lambdas are avoided).
+
+    ``hash="arith"``: the 64 bits come from THREE independent arithmetic
+    permutations of the base hash (each mod a 30-bit prime contributes 30
+    usable bits; bit b reads bit b%30 of permutation b//30) — weaker
+    mixing than xxhash64 but bit-replayable in DuckDB SQL for the
+    driver's oracle."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(canon_text(text_col), " ")).alias("_w"))
+    if hash == "xxhash64":
+        hashed = words.select(F.col(id_col), F.xxhash64("_w").alias("_h0"))
+
+        def bit(b: int):
+            return F.shiftright("_h0", b).bitwiseAND(1)
+    elif hash == "arith":
+        coeffs = perm_coeffs(3)
+        hashed = words.select(
+            F.col(id_col), F.expr(_arith_str_hash_sql("_w")).alias("_hb")
+        ).select(
+            F.col(id_col),
+            *[((F.lit(a) * F.col("_hb") + F.lit(b)) % P_ARITH).alias(f"_h{t}")
+              for t, (a, b) in enumerate(coeffs)])
+
+        def bit(b: int):
+            return F.shiftright(f"_h{b // 30}", b % 30).bitwiseAND(1)
+    else:
+        raise ValueError(f"unknown hash {hash!r}")
+    wh = hashed.select(
+        F.col(id_col),
+        *[(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"_b{b}")
+          for b in range(64)])
     votes = wh.groupBy(id_col).agg(
         *[F.sum(f"_b{b}").alias(f"_v{b}") for b in range(64)])
     sig_expr = None
@@ -240,7 +327,8 @@ def simhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
-                  n_bands: int | None = None) -> DataFrame:
+                  n_bands: int | None = None,
+                  hash: str = "xxhash64") -> DataFrame:
     """SimHash near-dup: 64-bit signature from word hashes; candidate
     blocking on equal-width signature sub-bands; verified with exact
     popcount of xor. Output (id_a, id_b, hamming).
@@ -261,7 +349,8 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
             stacklevel=2)
     if not 1 <= n_bands <= 64:
         raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
-    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col,
+                              hash=hash)
     band_exprs = []
     for b in range(n_bands):
         lo = b * 64 // n_bands

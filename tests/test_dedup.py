@@ -1,12 +1,14 @@
 """Dedup operators: driver-visible correctness evidence.
 
-minhash/simhash blocking is hash-based, so the driver's DuckDB oracle
-cannot replay it — these tests are the correctness gate instead:
-
 - simhash: EXACT completeness vs brute-force signature hamming (the
   pigeonhole band derivation guarantees recall 1.0 within max_hamming).
 - minhash: precision 1.0 (verification is exact shingle-Jaccard) and
   recall vs the brute-force shingle-Jaccard truth set.
+
+Both run under BOTH hash modes: the xxhash64 production default and the
+"arith" SQL-replayable hash the driver's DuckDB oracle regenerates
+bit-for-bit (round 4 — the queries themselves are oracled now; these
+tests additionally pin the brute-force properties per hash mode).
 """
 
 from __future__ import annotations
@@ -39,19 +41,23 @@ def _shingle_sets(docs, k=3):
     return out
 
 
-def test_simhash_complete_within_max_hamming(spark, docs):
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "arith"])
+def test_simhash_complete_within_max_hamming(spark, docs, hash_mode):
     """Every pair within max_hamming of signature hamming distance must be
     returned — banded blocking with bands = max_hamming + 1 is lossless by
     pigeonhole, and verification is an exact popcount."""
     max_h = 3
-    sigs = {r.doc_id: r.sig for r in simhash_signatures(docs).collect()}
+    sigs = {r.doc_id: r.sig
+            for r in simhash_signatures(docs, hash=hash_mode).collect()}
     ids = sorted(sigs)
     truth = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
             if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= max_h:
                 truth.add((a, b))
-    got = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=max_h).collect()}
+    got = {(r.id_a, r.id_b)
+           for r in simhash_pairs(docs, max_hamming=max_h,
+                                  hash=hash_mode).collect()}
     assert got == truth
     assert len(truth) > 0, "fixture produced no near-dup pairs — test is vacuous"
 
@@ -63,7 +69,8 @@ def test_simhash_narrow_bands_warns(spark, docs):
         assert any("pigeonhole" in str(x.message) for x in w)
 
 
-def test_minhash_precision_and_recall_vs_exact_jaccard(spark, docs):
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "arith"])
+def test_minhash_precision_and_recall_vs_exact_jaccard(spark, docs, hash_mode):
     """Returned pairs must all satisfy the exact shingle-Jaccard threshold
     (precision 1.0 — the verify stage recomputes exact intersections), and
     banded-LSH recall vs the brute-force truth set must be high (expected
@@ -80,7 +87,8 @@ def test_minhash_precision_and_recall_vs_exact_jaccard(spark, docs):
             if union and inter * 1000 >= int(thr * 1000) * union:
                 truth.add((a, b))
     got = {(r.id_a, r.id_b)
-           for r in minhash_lsh_pairs(docs, jaccard_threshold=thr).collect()}
+           for r in minhash_lsh_pairs(docs, jaccard_threshold=thr,
+                                      hash=hash_mode).collect()}
     assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
     assert len(truth) > 0, "fixture produced no near-dup pairs — test is vacuous"
     recall = len(got & truth) / len(truth)
