@@ -397,6 +397,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["substring_all_positions"] = _substring_positions
 
+    # INCREMENTAL substring-index maintenance (r3 verdict gap #4 — the
+    # SuffixAutomaton insert/remove analog, suffix_automaton.rs:503,549):
+    # batch 1 indexes the even docs; batch 2 INSERTS the odd docs;
+    # batch 3 REPLACES doc_id % 4 == 0 docs with their first character
+    # dropped and DELETES doc_id % 8 == 6. The all-positions query then
+    # runs over the maintained index (shared-index path: one index stage,
+    # coverage-validated), while the oracle recomputes every position
+    # from scratch over the final corpus — incremental maintenance must
+    # be indistinguishable from a full rebuild, the same invariant
+    # pattern as incremental_linkage.
+    def _incremental_substring(s, d):
+        from liblevenshtein_rust_spark.operators.substring import (
+            build_substring_index, fuzzy_substring_join,
+            incremental_substring_index)
+        docs = _docs(s, d).select("doc_id", F.lower("text").alias("text"))
+        lens = sorted({len(t) for t in SUBSTR_POS_QUERIES})
+        evens = docs.where("doc_id % 2 = 0")
+        odds = docs.where("doc_id % 2 = 1")
+        modified = (docs.where("doc_id % 4 = 0")
+                    .select("doc_id",
+                            F.expr("substring(text, 2)").alias("text")))
+        deletes = docs.where("doc_id % 8 = 6").select("doc_id")
+        idx = build_substring_index(evens, lens)
+        idx = incremental_substring_index(idx, seg_lens=lens, upserts=odds)
+        idx = incremental_substring_index(idx, seg_lens=lens,
+                                          upserts=modified,
+                                          delete_ids=deletes)
+        final_docs = (
+            docs.where("doc_id % 8 != 6")
+            .select("doc_id",
+                    F.expr("IF(doc_id % 4 = 0, substring(text, 2), text)")
+                    .alias("text")))
+        return (
+            fuzzy_substring_join(_queries_df(s, SUBSTR_POS_QUERIES),
+                                 final_docs, n=0, all_positions=True,
+                                 doc_index=idx, index_lens=lens)
+            .select(F.col("q_text").alias("query"), "doc_id", "pos",
+                    "distance")
+        )
+    q["incremental_substring"] = _incremental_substring
+
     # event-time tumbling-window aggregation over the events table (the
     # batch twin of streaming/stateful.windowed_turn_counts; value sums
     # emitted in integer cents to keep the hash float-free)
@@ -1289,6 +1330,22 @@ def oracle_sql() -> dict[str, str]:
         "FROM q, documents, ps "
         "WHERE p + length(query) - 1 <= length(text) "
         "  AND substr(lower(text), p, length(query)) = query"
+    )
+
+    # incremental_substring twin: full position recompute over the FINAL
+    # corpus (insert odds, replace doc_id%4==0 with first char dropped,
+    # delete doc_id%8==6) — the Spark side reaches the same rows through
+    # three incremental index batches
+    o["incremental_substring"] = (
+        "WITH fd AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 "
+        "  THEN substr(lower(text), 2) ELSE lower(text) END AS text "
+        "  FROM documents WHERE doc_id % 8 <> 6), "
+        f"q(query) AS (VALUES {_sql_substr_pos}), "
+        "ps AS (SELECT unnest(range(1, 1001)) AS p) "
+        "SELECT query, doc_id, CAST(p AS INT) AS pos, CAST(0 AS INT) AS distance "
+        "FROM q, fd, ps "
+        "WHERE p + length(query) - 1 <= length(text) "
+        "  AND substr(text, p, length(query)) = query"
     )
 
     o["event_window_counts"] = (

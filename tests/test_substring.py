@@ -194,3 +194,81 @@ def test_short_queries_raise_without_opt_in(spark):
     # long-only workloads are unaffected
     long_only = spark.createDataFrame([("q2", "longenough")], ["q_id", "q_text"])
     fuzzy_substring_join(long_only, ddf, n=2).collect()
+
+
+# --- incremental index maintenance (SuffixAutomaton insert/remove analog) ---
+
+def _seg_lens_for(queries, n, variant="standard"):
+    from liblevenshtein_rust_spark.operators.substring import _segments
+    return sorted({ln for q in queries for _, ln in _segments(len(q), n, variant)})
+
+
+def test_incremental_index_equals_rebuild(spark):
+    """insert + replace + delete batches folded into an index must yield
+    exactly the rows a from-scratch rebuild over the final corpus yields,
+    and the fuzzy join over the maintained index must match the join over
+    the final docs without an index (n=1 — exercises the fuzzy path)."""
+    from liblevenshtein_rust_spark.operators.substring import (
+        build_substring_index, fuzzy_substring_join,
+        incremental_substring_index)
+    queries = ["scan", "sacn", "phrse"]
+    n = 1
+    lens = _seg_lens_for(queries, n)
+    docs0 = spark.createDataFrame(DOCS[:4], ["doc_id", "text"])
+    add = spark.createDataFrame(DOCS[4:], ["doc_id", "text"])
+    repl = spark.createDataFrame([(2, "a scan replaced wholesale")],
+                                 ["doc_id", "text"])
+    dels = spark.createDataFrame([(3,)], ["doc_id"])
+
+    idx = build_substring_index(docs0, lens)
+    idx = incremental_substring_index(idx, seg_lens=lens, upserts=add)
+    idx = incremental_substring_index(idx, seg_lens=lens, upserts=repl,
+                                      delete_ids=dels)
+
+    final_rows = [(i, t) for i, t in DOCS if i not in (2, 3)] + \
+        [(2, "a scan replaced wholesale")]
+    final_docs = spark.createDataFrame(final_rows, ["doc_id", "text"])
+    rebuilt = build_substring_index(final_docs, lens)
+    key = lambda r: (r._did, r._p, r._len, r._bkey)
+    assert sorted(map(key, idx.collect())) == sorted(map(key, rebuilt.collect()))
+
+    qdf = spark.createDataFrame([(q, q) for q in queries], ["q_id", "q_text"])
+    with_idx = fuzzy_substring_join(qdf, final_docs, n=n,
+                                    all_positions=True, doc_index=idx,
+                                    index_lens=lens)
+    without = fuzzy_substring_join(qdf, final_docs, n=n, all_positions=True)
+    rk = lambda r: (r.q_text, r.doc_id, r.pos, r.distance)
+    assert sorted(map(rk, with_idx.collect())) == \
+        sorted(map(rk, without.collect()))
+    assert with_idx.count() > 0
+
+
+def test_incremental_index_replay_idempotent(spark):
+    """Replaying the same upsert batch must reproduce the identical index
+    (the reference's online ops are idempotent under re-insert)."""
+    from liblevenshtein_rust_spark.operators.substring import (
+        build_substring_index, incremental_substring_index)
+    lens = [3, 4]
+    docs0 = spark.createDataFrame(DOCS[:3], ["doc_id", "text"])
+    batch = spark.createDataFrame(DOCS[3:5], ["doc_id", "text"])
+    once = incremental_substring_index(
+        build_substring_index(docs0, lens), seg_lens=lens, upserts=batch)
+    twice = incremental_substring_index(once, seg_lens=lens, upserts=batch)
+    key = lambda r: (r._did, r._p, r._len, r._bkey)
+    assert sorted(map(key, once.collect())) == sorted(map(key, twice.collect()))
+
+
+def test_index_coverage_validated(spark):
+    """A workload needing uncovered segment lengths must raise, not lose
+    recall silently."""
+    from liblevenshtein_rust_spark.operators.substring import (
+        build_substring_index, fuzzy_substring_join)
+    docs = spark.createDataFrame(DOCS[:2], ["doc_id", "text"])
+    qdf = spark.createDataFrame([("scan", "scan")], ["q_id", "q_text"])
+    idx = build_substring_index(docs, [3])
+    with pytest.raises(ValueError, match="does not cover"):
+        fuzzy_substring_join(qdf, docs, n=0, all_positions=True,
+                             doc_index=idx, index_lens=[3])
+    with pytest.raises(ValueError, match="index_lens"):
+        fuzzy_substring_join(qdf, docs, n=0, all_positions=True,
+                             doc_index=idx)
