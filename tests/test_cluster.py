@@ -43,15 +43,21 @@ def _oracle(edges, nodes):
 
 
 def _run(spark, edges, nodes):
+    """Both physical paths must agree with the oracle: the driver
+    union-find fast path (default threshold) AND the iterated star
+    rounds (small_graph_threshold=0 pins the distributed scale path)."""
     edf = spark.createDataFrame(edges or [("x", "x")], ["id_a", "id_b"])
     if not edges:
         edf = edf.limit(0)
     ndf = spark.createDataFrame([(n,) for n in nodes], ["term_id"])
-    got = {
-        r.term_id: r.entity_id
-        for r in connected_components(edf, ndf).collect()
-    }
-    assert got == _oracle(edges, nodes)
+    exp = _oracle(edges, nodes)
+    for thr in (500_000, 0):
+        got = {
+            r.term_id: r.entity_id
+            for r in connected_components(
+                edf, ndf, small_graph_threshold=thr).collect()
+        }
+        assert got == exp, f"threshold={thr}"
 
 
 def test_cc_simple_chain(spark):

@@ -69,3 +69,29 @@ def test_self_join_scan_prunes_to_text_column(spark, tmp_path, sf_dir):
         if "ReadSchema" in ln:
             assert "extra1" not in ln and "extra2" not in ln, ln
     assert "xxhash64" in plan
+
+
+def test_substring_doc_index_reuse_skips_index_rebuild(spark):
+    """The shared-index path (r4): with doc_index= the join plan must NOT
+    contain the per-length explode(sequence)+substring index derivation —
+    the index stage is built once and reused across query workloads
+    (substring.build_substring_index), so the join's doc-side input is a
+    plain scan/filter of the prebuilt index."""
+    from liblevenshtein_rust_spark.operators.substring import (
+        build_substring_index, fuzzy_substring_join)
+    docs = spark.createDataFrame(
+        [(1, "a scan of the table"), (2, "fast scan path")],
+        ["doc_id", "text"])
+    qdf = spark.createDataFrame([("scan", "scan")], ["q_id", "q_text"])
+    # materialize the index as a table, as a deployment would
+    idx = build_substring_index(docs, [4]).localCheckpoint(eager=True)
+    with_idx = _plan(fuzzy_substring_join(
+        qdf, docs, n=0, all_positions=True, doc_index=idx, index_lens=[4]))
+    without = _plan(fuzzy_substring_join(qdf, docs, n=0, all_positions=True))
+    # the inline path derives the index in-plan (explode over sequence of
+    # positions); the reuse path must not
+    assert "Generate explode" in without or "explode" in without.lower()
+    n_explodes_with = with_idx.lower().count("explode")
+    n_explodes_without = without.lower().count("explode")
+    assert n_explodes_with < n_explodes_without, (
+        with_idx, n_explodes_with, n_explodes_without)
