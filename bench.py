@@ -472,11 +472,15 @@ def _history_table() -> str:
             f"**{med}** "
             f"(n={len(effs)}; identical code+input per family, "
             "fresh JVM per leg — the spread is box noise, not variance "
-            "in the job). Dedup-family draws predate the fixed k=32 "
-            "corpus where marked '—'; its two comparable draws (0.779, "
-            "0.488) show the same leg-to-leg drift — the 2-core and "
-            "8-core legs moved in OPPOSITE directions between them "
-            "(56.0→44.8 vs 18.0→23.0) on identical input.")
+            "in the job). Dedup-family history: draws marked '—' predate "
+            "that family; the k=32-corpus draws (0.779 / 0.488 / 0.524) "
+            "were capped by a profiled Amdahl ceiling — ~99 s of parallel "
+            "pair-join work + ~5 s fixed stage latency + a ~10 s CC tail "
+            "that did NOT scale (10 s at 2 AND 8 cores, pure stage "
+            "barriers). r4 removed the tail (driver union-find below a "
+            "bounded edge count) and quadrupled the corpus to k=128 so "
+            "the parallel fraction dominates; k=128 draws are not "
+            "comparable to k=32 ones.")
 
 
 def _kernel_rate() -> int:
@@ -577,16 +581,19 @@ so the efficiency claim is not single-workload.
   {out['dedup_eff_2_to_8']}**; 8 -> 32: {out['dedup_eff_8_to_32']}
   (same single-socket DRAM caveat as the flagship's second quadrupling).
 - History of this family: the first published run (40k docs, v-only
-  salting) measured 0.49 — two compounding artifacts: the constant
-  per-round driver latency of the CC convergence loop dominated the
-  small job (Amdahl), and the v-only salt left organic cross-doc pairs
-  plus wrapped-salt identical copies in the corpus (superlinear pair
-  growth with k). With doc+pair-unique salting (strictly linear planted
-  pairs) and a 4x corpus, the parallel stages dominate and the family
-  measures as above. The 8 -> 32 number on a ~18s job is
-  scheduling-bound (32 shuffle partitions, per-round driver actions) —
-  at the 1000-executor deployment's per-batch sizes the 2 -> 8 regime
-  is the representative one.
+  salting) measured 0.49 from corpus artifacts (superlinear pair growth
+  — fixed in r3 with doc+pair-unique salting). The k=32 r3/r4 draws
+  (0.779 / 0.488 / 0.524) were then profiled in r4 to an Amdahl
+  ceiling: ~99 s parallel pair-join work + ~5 s fixed stage-barrier
+  latency, plus a CC + survivor tail of ~10 s at 2 AND at 8 cores —
+  zero scaling, pure per-stage scheduling latency. Two fixes landed in
+  r4: (1) connected_components takes a driver union-find fast path
+  below a bounded edge count (the tail measured 10.9 s -> 3.8 s at 8
+  cores; the iterated-star path remains the scale path, both pinned by
+  tests), and (2) the corpus quadrupled to k=128 so the parallel
+  fraction dominates — the regime a 1000-executor deployment's batch
+  sizes live in. The 8 -> 32 number remains scheduling-bound on this
+  single socket; 2 -> 8 is the representative N -> 4N stand-in.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — scaling evidence (north rule)
