@@ -42,6 +42,11 @@ HEADLINE = [
     "embedding_topk",
     "token_stats",
     "substring_fuzzy_d1",
+    # the shared-index path (VERDICT r3 #7): ONE persisted inverted-index
+    # stage feeds both the fuzzy-d1 and exact-all-positions substring
+    # workloads — amortizing the doc-side fan-out that dominates
+    # substring_fuzzy_d1's standalone cost
+    "substring_shared_index",
     "near_dup_dedup_docs",
     "doc_quality",
     # reference-scale validation: 1.6k planted misspellings fuzzy-joined
@@ -111,9 +116,44 @@ def _bench_queries(em) -> dict:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return simhash_pairs(docs, max_hamming=3)
 
+    def substring_shared_index(spark, sf_dir):
+        """Both substring workloads (fuzzy d=1 best-match + exact
+        all-positions) over ONE persisted doc-side inverted index: the
+        index stage — the dominant cost of substring_fuzzy_d1 standalone
+        — is built once at the union of both workloads' segment-length
+        sets and read back from cache by each query (InMemoryTableScan
+        in both plans). Cache released by the harness clearCache."""
+        from pyspark.sql import functions as F
+        from liblevenshtein_rust_spark.operators.substring import (
+            _n_segments, _segments, build_substring_index,
+            fuzzy_substring_join)
+        import __spark_entry__ as em2
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", F.lower(F.col("text")).alias("text"))
+        fuzzy_q = em2.SUBSTR_FUZZY_QUERIES
+        pos_q = em2.SUBSTR_POS_QUERIES
+        lens = sorted(
+            {ln for t in fuzzy_q
+             for _, ln in _segments(len(t), 1, "standard")
+             if len(t) >= _n_segments(1, "standard")}
+            | {len(t) for t in pos_q})
+        idx = build_substring_index(docs, lens).persist()
+        qdf_f = em2._queries_df(spark, fuzzy_q)
+        qdf_p = em2._queries_df(spark, pos_q)
+        best = (fuzzy_substring_join(qdf_f, docs, n=1, doc_index=idx,
+                                     index_lens=lens)
+                .select(F.col("q_text").alias("query"), "doc_id",
+                        "pos", "distance", F.lit("fuzzy_d1").alias("mode")))
+        allp = (fuzzy_substring_join(qdf_p, docs, n=0, all_positions=True,
+                                     doc_index=idx, index_lens=lens)
+                .select(F.col("q_text").alias("query"), "doc_id",
+                        "pos", "distance", F.lit("positions").alias("mode")))
+        return best.unionByName(allp)
+
     return {**em.queries(), "corpus_recall_124k": corpus_recall_124k,
             "minhash_near_dup": minhash_near_dup,
-            "simhash_near_dup": simhash_near_dup}
+            "simhash_near_dup": simhash_near_dup,
+            "substring_shared_index": substring_shared_index}
 
 
 def run_default() -> None:
@@ -315,10 +355,19 @@ def run_scale_job_dedup(cores: str, k: int = 128) -> None:
     docs = spark.read.parquet(corpus_path)
     n_docs = docs.count()
 
+    # Token-cache placement (A/B-tested r4): DISK_ONLY puts the cached
+    # exploded-token blocks on spark.local.dir (tmpfs here, executor
+    # NVMe on a cluster) instead of the JVM heap — the job's largest
+    # allocation stops competing with execution memory and shrinks the
+    # GC-sensitive surface that made the mid-parallelism leg absorb box
+    # contention disproportionately (see BENCH/BASELINE.md).
+    cache_level = os.environ.get("LLS_BENCH_TOKEN_CACHE", "DISK_ONLY")
+
     def once() -> tuple[float, int, int]:
         t0 = time.time()
         pairs = token_jaccard_pairs(docs, group_col="lang",
-                                    min_ratio_milli=900, persist=True)
+                                    min_ratio_milli=900, persist=True,
+                                    persist_level=cache_level)
         surv = near_dup_dedup(docs, pairs)
         n_surv = surv.count()
         dt = time.time() - t0
@@ -479,10 +528,13 @@ def _history_table() -> str:
             "were capped by a profiled Amdahl ceiling — ~99 s of parallel "
             "pair-join work + ~5 s fixed stage latency + a ~10 s CC tail "
             "that did NOT scale (10 s at 2 AND 8 cores, pure stage "
-            "barriers). r4 removed the tail (driver union-find below a "
-            "bounded edge count) and quadrupled the corpus to k=128 so "
-            "the parallel fraction dominates; k=128 draws are not "
-            "comparable to k=32 ones.")
+            "barriers). r4 quadrupled the corpus to k=128 (k=128 draws "
+            "are not comparable to k=32 ones) and then removed the "
+            "serial terms at the root — off-heap token cache, "
+            "vectorized driver union-find, driver-side survivor counts "
+            "(see the family section above): both post-fix draws "
+            "measure the dedup family at **0.808 / 0.807**, over the "
+            "0.8 bar, with identical survivor counts throughout.")
 
 
 def _kernel_rate() -> int:
@@ -588,28 +640,43 @@ so the efficiency claim is not single-workload.
   (0.779 / 0.488 / 0.524) were then profiled in r4 to an Amdahl
   ceiling: ~99 s parallel pair-join work + ~5 s fixed stage-barrier
   latency, plus a CC + survivor tail of ~10 s at 2 AND at 8 cores —
-  zero scaling, pure per-stage scheduling latency. Two fixes landed in
-  r4: (1) connected_components takes a driver union-find fast path
-  below a bounded edge count (the tail measured 10.9 s -> 3.8 s at 8
-  cores; the iterated-star path remains the scale path, both pinned by
-  tests), and (2) the corpus quadrupled to k=128 so the parallel
-  fraction dominates — the regime a 1000-executor deployment's batch
-  sizes live in. The 8 -> 32 number remains scheduling-bound on this
-  single socket; 2 -> 8 is the representative N -> 4N stand-in.
-- k=128 draw summary (r4): 0.718 / 0.525 / 0.633 (median 0.633 across
-  the two --scaling invocations plus one focused per-leg redraw) —
-  improved from the k=32 floor (0.488-0.524 current draws) but still
-  below the 0.8 bar IN THIS SANDBOX. The residual gap is attributable
-  to the box, not the plan: across the three draws the 2-core leg
-  varies 194.7-221.7 s (1.14x) while the 8-core leg swings
-  67.8 / 105.6 / 81.6 s (1.56x, cold 102-163 s) on identical
-  code+input — and the flagship family's 8-core legs in the SAME
-  invocations are stable (70.7 / 70.9 / 72.2 s). A memory-heavier job
-  (exploded-token cache) on the shared box absorbs contention on the
-  mid-parallelism leg disproportionately. Under the best observed
-  conditions the family measures 0.718; the profiled decomposition
-  (~396 s parallel + ~6 s fixed at 2 cores) predicts ~0.87 on quiet
-  hardware.
+  zero scaling, pure per-stage scheduling latency. Four fixes landed in
+  r4, each driven by a phase-level profile of one leg at 2 AND 8 cores
+  (pairs+checksum / component labeling / survivor join timed
+  separately):
+  (1) the corpus quadrupled to k=128 so the parallel fraction dominates
+  — the regime a 1000-executor deployment's batch sizes live in;
+  (2) the exploded-token cache moved off-heap
+  (token_jaccard_pairs(persist_level="DISK_ONLY") onto spark.local.dir
+  — tmpfs here, executor NVMe on a cluster): the job's largest
+  allocation stopped competing with execution memory, and the 8-core
+  leg dropped 91.7 -> 72.2 s in a back-to-back A/B on identical input;
+  (3) the driver union-find was vectorized (factorize + numpy min-label
+  propagation with pointer jumping, cluster._uf_label_pandas) — the
+  Python dict loop cost 2-6 s at 288k edges with GC-sensitive
+  variance, the numpy path ~100 ms flat;
+  (4) the survivor computation gained a driver fast path
+  (cluster.component_survivor_counts): the full-assignment upload was
+  a 576k-row LocalTableScan feeding four shuffle stages (sizes
+  aggregate, survivor filter-join, singleton anti-join) profiled at
+  ~10 s at 2 AND at 8 cores — zero scaling; now sizes + survivor
+  selection happen in pandas on the already-collected edge list and
+  only the bounded survivor table ships back. The distributed paths
+  remain the scale paths; both are pinned against the same oracles
+  (tests/test_cluster.py).
+  Phase profile after the fixes predicted 2-core ~213 s / 8-core
+  ~64 s (eff ~0.83); the measured redraw landed 210.6 / 65.1 =
+  **0.808**, and survivor counts are identical in every draw. The
+  8 -> 32 number remains scheduling-bound on this single socket;
+  2 -> 8 is the representative N -> 4N stand-in.
+- k=128 draw history (r4): 0.718 / 0.525 / 0.633 under the pre-fix
+  code (8-core leg swinging 67.8-105.6 s with box contention absorbed
+  by the on-heap token cache), then **0.808** with the off-heap cache +
+  driver survivor fast path (fresh invocation, all three legs). The
+  2-core legs varied only 1.14x across all draws; the flagship
+  family's 8-core legs in the same invocations were stable throughout
+  (70.7 / 70.9 / 72.2 s) — the instability was specific to this
+  family's memory profile, which fix (2) addressed at the root.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — scaling evidence (north rule)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -52,9 +52,44 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
 
 
+def _uf_label_pandas(pdf, node_col: str):
+    """Driver-side component labeling of a bounded edge list, fully
+    vectorized: factorize node ids to dense codes, then min-label
+    propagation with pointer jumping (numpy scatter-min + label[label])
+    until fixpoint. Converges in O(log d) sweeps for component diameter
+    d (planted near-dup graphs are almost all d <= 2, so 1-2 sweeps);
+    the Python-loop dict union-find this replaces cost 2-6 s at 288k
+    edges with GC-sensitive variance — this runs in ~100 ms flat.
+
+    Returns a pandas DataFrame (node_col, entity_id = min member id);
+    min is pandas/numpy ordering, which matches Spark's F.min for the
+    int64 ids and ASCII md5 term ids used as node labels."""
+    import numpy as np
+    import pandas as pd
+
+    u = pdf.iloc[:, 0].to_numpy()
+    v = pdf.iloc[:, 1].to_numpy()
+    m = len(u)
+    codes, uniq = pd.factorize(np.concatenate([u, v]))
+    eu, ev = codes[:m], codes[m:]
+    lab = np.arange(len(uniq))
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, eu, lab[ev])
+        np.minimum.at(lab, ev, lab[eu])
+        lab = lab[lab]
+        if np.array_equal(lab, old):
+            break
+    # root codes are an arbitrary factorize order — the entity label is
+    # the MIN ORIGINAL id in each component
+    out = pd.DataFrame({node_col: uniq, "_root": lab})
+    out["entity_id"] = out.groupby("_root")[node_col].transform("min")
+    return out[[node_col, "entity_id"]]
+
+
 def _driver_union_find(edges: DataFrame, node_col: str) -> DataFrame:
     """Small-graph fast path: collect the (bounded) edge list and label
-    components with union-find on the driver, returning the same
+    components on the driver (see _uf_label_pandas), returning the same
     (node_col, entity_id = min member) assignment the iterative path
     produces for every edge-endpoint node.
 
@@ -63,40 +98,16 @@ def _driver_union_find(edges: DataFrame, node_col: str) -> DataFrame:
     took ~10 s at 2 AND at 8 cores (pure scheduling, zero scaling),
     which is exactly the serial Amdahl term the north rule punishes. A
     real cluster deployment makes the same cut: below a bounded edge
-    count the graph fits comfortably on the driver and microsecond
+    count the graph fits comfortably on the driver and vectorized
     union-find beats minutes of stage barriers. The distributed path
     remains the scale path and is pinned by the same tests
     (small_graph_threshold=0)."""
-    import pandas as pd
-
     spark = edges.sparkSession
     # Arrow both ways: toPandas() / createDataFrame(pandas) move the
     # bounded edge list as columnar batches — the Row-pickle path costs
     # ~4x more driver-serial time and grows with the edge count (measured:
     # ~13 s tail at 288k edges via pickle vs seconds via Arrow)
-    pdf = edges.toPandas()
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent.setdefault(r, r) != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    label: dict = {}
-    for x in parent:
-        r = find(x)
-        if r not in label or x < label[r]:
-            label[r] = x
-    nodes_out = list(parent)
-    out = pd.DataFrame({node_col: nodes_out,
-                        "entity_id": [label[find(x)] for x in nodes_out]})
+    out = _uf_label_pandas(edges.toPandas(), node_col)
     schema = StructType([
         StructField(node_col, edges.schema[0].dataType),
         StructField("entity_id", edges.schema[0].dataType),
@@ -203,6 +214,77 @@ def connected_components(
     # deterministic: min label wins even if a round budget stopped short of
     # full convergence
     return assign.groupBy(node_col).agg(F.min("entity_id").alias("entity_id"))
+
+
+def component_survivor_counts(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "doc_id",
+    max_iterations: int = 20,
+    checkpoint=None,
+    small_graph_threshold: int = 500_000,
+) -> DataFrame:
+    """(node_col, n_removed) for every SURVIVING node: the min-id member
+    of each component carries n_removed = component size - 1, and every
+    node of ``nodes`` appearing in no pair survives with n_removed = 0.
+
+    Semantically identical to deriving sizes + survivors from
+    ``connected_components``' full assignment (the distributed path below
+    does exactly that), but on the small-graph fast path ALL cluster
+    arithmetic — labeling, sizes, survivor selection — stays driver-side
+    on the already-collected edge list, and only the bounded survivor
+    table (one row per multi-node component) is shipped back. The full
+    assignment upload this replaces became a large LocalTableScan
+    feeding four shuffle stages (sizes aggregate, survivor filter-join,
+    singleton anti-join) — profiled at ~10 s of near-constant latency at
+    2 AND 8 cores on a 288k-edge graph, the dominant serial term of the
+    dedup scaling family after the pair join itself (BENCH/BASELINE.md
+    r4)."""
+    if checkpoint is None:
+        def checkpoint(df: DataFrame) -> DataFrame:  # noqa: ANN001
+            return df.localCheckpoint(eager=False)
+    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"]))
+    edges = checkpoint(edges)
+    n_edges = edges.count()
+    if small_graph_threshold and n_edges <= small_graph_threshold:
+        import pandas as pd
+
+        assign = _uf_label_pandas(edges.toPandas(), node_col)
+        sizes = assign.groupby("entity_id")[node_col].count()
+        surv = (assign[assign[node_col] == assign["entity_id"]]
+                .merge(sizes.rename("_sz"), left_on="entity_id",
+                       right_index=True))
+        surv_pdf = pd.DataFrame({node_col: surv[node_col].to_numpy(),
+                                 "n_removed": (surv["_sz"] - 1)
+                                 .astype("int32").to_numpy()})
+        schema = StructType([
+            StructField(node_col, edges.schema[0].dataType),
+            StructField("n_removed", IntegerType()),
+        ])
+        surv_df = edges.sparkSession.createDataFrame(surv_pdf, schema)
+        edge_nodes = (edges.select(F.col("u").alias(node_col))
+                      .unionByName(edges.select(F.col("v").alias(node_col)))
+                      .distinct())
+        singles = (nodes.select(F.col(node_col)).distinct()
+                   .join(edge_nodes, node_col, "left_anti")
+                   .select(F.col(node_col),
+                           F.lit(0).cast("int").alias("n_removed")))
+        return surv_df.unionByName(singles)
+    # scale path: full distributed assignment, then sizes + survivors.
+    # edges is already checkpointed, so handing it to connected_components
+    # does not re-derive the (typically expensive) pair lineage.
+    clusters = connected_components(
+        edges, nodes, src="u", dst="v", node_col=node_col,
+        max_iterations=max_iterations, checkpoint=checkpoint,
+        small_graph_threshold=0)
+    sizes = clusters.groupBy("entity_id").agg(
+        (F.count(F.lit(1)) - F.lit(1)).cast("int").alias("n_removed"))
+    return (clusters.where(F.col(node_col) == F.col("entity_id"))
+            .join(sizes, "entity_id").select(node_col, "n_removed"))
 
 
 def incremental_components(

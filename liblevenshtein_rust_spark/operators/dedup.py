@@ -174,7 +174,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
 def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", group_col: str | None = None,
                         min_ratio_milli: int = 600,
-                        persist: bool = False) -> DataFrame:
+                        persist: bool = False,
+                        persist_level: str = "MEMORY_AND_DISK") -> DataFrame:
     """Exact token-set Jaccard join (no LSH — the exactness baseline):
     pairs (within ``group_col`` if given) whose distinct-word Jaccard
     >= min_ratio_milli/1000. Integer-only output (id_a, id_b, n_common,
@@ -187,21 +188,27 @@ def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     word are ever materialized (the set-similarity-join standard trick),
     so disjoint documents cost nothing.
 
-    ``persist`` caches the exploded token table (MEMORY_AND_DISK): the
-    plan reads it five times (sizes, rarity ranks, both prefix sides,
-    exact verify) and each read would otherwise re-run the scan +
-    canonicalize + explode lineage. The cached table lives until
-    ``unpersist_inputs(result)`` (or ``spark.catalog.clearCache()``) —
-    callers that invoke this repeatedly in one JVM (benchmark loops)
-    must release it after materializing, or cached copies accumulate
-    for the JVM's lifetime."""
+    ``persist`` caches the exploded token table: the plan reads it five
+    times (sizes, rarity ranks, both prefix sides, exact verify) and
+    each read would otherwise re-run the scan + canonicalize + explode
+    lineage. The cached table lives until ``unpersist_inputs(result)``
+    (or ``spark.catalog.clearCache()``) — callers that invoke this
+    repeatedly in one JVM (benchmark loops) must release it after
+    materializing, or cached copies accumulate for the JVM's lifetime.
+
+    ``persist_level`` names any ``pyspark.StorageLevel``; the
+    MEMORY_AND_DISK default keeps hot blocks on-heap, while DISK_ONLY
+    off-heaps the cache onto ``spark.local.dir`` (executor NVMe on a
+    cluster, tmpfs in the bench) — the right level when the token table
+    is large relative to executor heap and the job is GC-sensitive."""
     toks = docs.select(
         F.col(id_col).alias("_id"),
         (F.col(group_col) if group_col else F.lit(0)).alias("_g"),
         F.explode(F.array_distinct(F.split(canon_text(text_col), " "))).alias("_w"),
     )
     if persist:
-        toks = toks.persist()
+        from pyspark import StorageLevel
+        toks = toks.persist(getattr(StorageLevel, persist_level))
     sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
 
     # PPJoin prefix + positional + size filtering (Xiao/Wang/Lin/Yu,
@@ -387,19 +394,13 @@ def near_dup_dedup(docs: DataFrame, pairs: DataFrame, *,
     Returns the surviving rows of ``docs`` (all original columns) plus
     ``n_removed`` = cluster size - 1. Docs appearing in no pair survive
     with n_removed = 0. Scale shape: the only new work over the pair join
-    is the CC iteration (small, converges in O(log n) rounds) and two
-    hash joins on the id column."""
+    is the component labeling (small-graph driver fast path / iterated
+    star rounds — see cluster.component_survivor_counts) and two hash
+    joins on the id column."""
     from liblevenshtein_rust_spark.operators.cluster import (
-        connected_components)
+        component_survivor_counts)
 
-    clusters = connected_components(
+    survivors = component_survivor_counts(
         pairs, docs.select(id_col), src=src, dst=dst, node_col=id_col,
         checkpoint=checkpoint)
-    sizes = clusters.groupBy("entity_id").agg(
-        (F.count(F.lit(1)) - F.lit(1)).cast("int").alias("n_removed"))
-    survivors = (
-        clusters.where(F.col(id_col) == F.col("entity_id"))
-        .join(sizes, "entity_id")
-        .select(id_col, "n_removed")
-    )
     return docs.join(survivors, id_col)

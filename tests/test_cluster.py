@@ -161,3 +161,72 @@ def test_incremental_delta_is_touched_only(spark):
                                          delta=True).collect()}
     # only the a-b component (touched via b), the fresh nodes — NOT c/d/z
     assert d == {"a": "a", "b": "a", "n1": "a", "n2": "n2"}
+
+
+def _surv_oracle(edges, nodes):
+    comp_of = _oracle(edges, nodes)
+    sizes = {}
+    for _, ent in comp_of.items():
+        sizes[ent] = sizes.get(ent, 0) + 1
+    return {ent: sz - 1 for ent, sz in sizes.items()}
+
+
+def _run_survivors(spark, edges, nodes):
+    """component_survivor_counts must match the union-find oracle's
+    (survivor = min member, n_removed = size - 1) on BOTH physical
+    paths (driver fast path and distributed clusters-then-aggregate)."""
+    from liblevenshtein_rust_spark.operators.cluster import (
+        component_survivor_counts)
+    edf = spark.createDataFrame(edges or [("x", "x")], ["id_a", "id_b"])
+    if not edges:
+        edf = edf.limit(0)
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["term_id"])
+    exp = _surv_oracle(edges, nodes)
+    for thr in (500_000, 0):
+        got = {
+            r.term_id: r.n_removed
+            for r in component_survivor_counts(
+                edf, ndf, node_col="term_id",
+                small_graph_threshold=thr).collect()
+        }
+        assert got == exp, f"threshold={thr}"
+
+
+def test_survivor_counts_chain_and_singletons(spark):
+    # a 5-chain (diameter 4 exercises multiple label-propagation sweeps
+    # in the vectorized fast path), one pair, two singletons
+    nodes = [f"n{i}" for i in range(9)]
+    edges = [("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4"),
+             ("n5", "n6")]
+    _run_survivors(spark, edges, nodes)
+
+
+def test_survivor_counts_random_graphs(spark):
+    rng = np.random.default_rng(13)
+    nodes = [f"m{i:03d}" for i in range(150)]
+    edges = []
+    for _ in range(120):
+        a, b = (str(x) for x in rng.choice(nodes, 2, replace=False))
+        edges.append((min(a, b), max(a, b)))
+    _run_survivors(spark, edges, nodes)
+
+
+def test_survivor_counts_empty_edges(spark):
+    _run_survivors(spark, [], ["a", "b", "c"])
+
+
+def test_uf_label_pandas_long_chain():
+    """Pure-pandas check that min-label propagation + pointer jumping
+    reaches the fixpoint on a high-diameter path graph (the worst case
+    for sweep count) and labels every node with the component minimum."""
+    import pandas as pd
+    from liblevenshtein_rust_spark.operators.cluster import _uf_label_pandas
+    n = 500
+    # path 0-1-2-...-499 shuffled, plus an isolated pair
+    pdf = pd.DataFrame({"u": [f"x{i:04d}" for i in range(n - 1)] + ["z1"],
+                        "v": [f"x{i + 1:04d}" for i in range(n - 1)] + ["z0"]})
+    pdf = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    out = _uf_label_pandas(pdf, "node")
+    lab = dict(zip(out["node"], out["entity_id"]))
+    assert all(lab[f"x{i:04d}"] == "x0000" for i in range(n))
+    assert lab["z0"] == "z0" and lab["z1"] == "z0"

@@ -133,3 +133,22 @@ def test_near_dup_dedup_no_pairs_keeps_everything(spark):
     got = near_dup_dedup(docs, pairs)
     assert got.count() == 2
     assert got.where(F.col("n_removed") != 0).count() == 0
+
+
+def test_jaccard_persist_levels_identical(spark, docs):
+    """persist_level only changes WHERE cached token blocks live
+    (heap vs spark.local.dir); the pair set must be identical, and
+    unpersist_inputs must release the cache either way."""
+    from liblevenshtein_rust_spark.operators.dedup import (
+        token_jaccard_pairs, unpersist_inputs)
+    base = {(r.id_a, r.id_b, r.n_common, r.n_union)
+            for r in token_jaccard_pairs(docs, min_ratio_milli=700).collect()}
+    for level in ("MEMORY_AND_DISK", "DISK_ONLY"):
+        out = token_jaccard_pairs(docs, min_ratio_milli=700, persist=True,
+                                  persist_level=level)
+        got = {(r.id_a, r.id_b, r.n_common, r.n_union) for r in out.collect()}
+        assert got == base, level
+        cached = out._lls_persisted_inputs[0]
+        assert cached.storageLevel.useDisk
+        assert cached.storageLevel.useMemory == (level == "MEMORY_AND_DISK")
+        unpersist_inputs(out)
