@@ -106,6 +106,26 @@ def main(argv: list[str] | None = None) -> int:
     mn.add_argument("--dict", required=True)
     mn.add_argument("--target-files", type=int, default=1)
 
+    # training-data-pipeline ops surface: document dedup as a single
+    # command (exact / token-Jaccard / MinHash-LSH / SimHash), writing
+    # the surviving docs (+ n_removed per survivor) to parquet
+    dd = sub.add_parser("dedup",
+                        help="near-duplicate removal over a document table")
+    dd.add_argument("--input", required=True,
+                    help="parquet with (id col, text col, ...)")
+    dd.add_argument("--output", required=True,
+                    help="output parquet: surviving rows + n_removed")
+    dd.add_argument("--method", default="jaccard",
+                    choices=["exact", "jaccard", "minhash", "simhash"])
+    dd.add_argument("--threshold-milli", type=int, default=900,
+                    help="Jaccard threshold in milli (jaccard/minhash)")
+    dd.add_argument("--max-hamming", type=int, default=3,
+                    help="SimHash bit distance (simhash)")
+    dd.add_argument("--group-col", default=None,
+                    help="only pair docs sharing this column (e.g. lang)")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+
     rp = sub.add_parser("repl", help="interactive query/insert/delete loop")
     rp.add_argument("--dict", required=True)
     rp.add_argument("--max-distance", type=int, default=2)
@@ -239,6 +259,47 @@ def main(argv: list[str] | None = None) -> int:
         d = _read_dict(spark, args.dict, None).localCheckpoint(eager=True)
         _write_dict(d.coalesce(max(args.target_files, 1)), args.dict, None)
         print(json.dumps({"terms": d.count(), "files": args.target_files}))
+        return 0
+
+    if args.cmd == "dedup":
+        from pyspark.sql import functions as F
+        from liblevenshtein_rust_spark.operators.dedup import (
+            exact_dedup, minhash_lsh_pairs, near_dup_dedup, simhash_pairs,
+            token_jaccard_pairs, unpersist_inputs)
+        docs = spark.read.parquet(args.input)
+        n_docs = docs.count()
+        if args.method == "exact":
+            groups = exact_dedup(docs, id_col=args.id_col,
+                                 text_col=args.text_col)
+            surv = docs.join(
+                groups.select(F.col("rep_id").alias(args.id_col),
+                              (F.col("n_docs") - F.lit(1)).cast("int")
+                              .alias("n_removed")),
+                args.id_col)
+            pairs = None
+        else:
+            if args.method == "jaccard":
+                pairs = token_jaccard_pairs(
+                    docs, id_col=args.id_col, text_col=args.text_col,
+                    group_col=args.group_col,
+                    min_ratio_milli=args.threshold_milli, persist=True)
+            elif args.method == "minhash":
+                pairs = minhash_lsh_pairs(
+                    docs, id_col=args.id_col, text_col=args.text_col,
+                    jaccard_threshold=args.threshold_milli / 1000.0)
+            else:
+                pairs = simhash_pairs(docs, id_col=args.id_col,
+                                      text_col=args.text_col,
+                                      max_hamming=args.max_hamming)
+            surv = near_dup_dedup(docs, pairs, id_col=args.id_col)
+        surv.write.mode("overwrite").parquet(args.output)
+        if pairs is not None:
+            unpersist_inputs(pairs)
+        n_surv = spark.read.parquet(args.output).count()
+        print(json.dumps({"method": args.method, "docs": n_docs,
+                          "survivors": n_surv,
+                          "removed": n_docs - n_surv,
+                          "output": args.output}))
         return 0
 
     if args.cmd == "repl":

@@ -194,3 +194,50 @@ def test_cli_query_broadcast(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert sorted(out) == ["able\t1", "table\t1"]
+
+
+def test_cli_dedup_methods(spark, tmp_path, capsys):
+    """`dedup` writes survivors + n_removed for every method; exact and
+    jaccard agree on a corpus with byte-identical dups and one near-dup."""
+    from liblevenshtein_rust_spark.cli import main
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the river"),
+        (3, "quick brown fox jumps over the lazy dog near the river"),
+        (4, "a completely different document about spark shuffle tuning"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(inp)
+
+    out_exact = str(tmp_path / "surv_exact")
+    rc = main(["dedup", "--input", inp, "--output", out_exact,
+               "--method", "exact"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["docs"] == 4 and info["removed"] == 1
+    surv = {r.doc_id: r.n_removed
+            for r in spark.read.parquet(out_exact).collect()}
+    assert surv == {1: 1, 3: 0, 4: 0}
+
+    out_j = str(tmp_path / "surv_jaccard")
+    rc = main(["dedup", "--input", inp, "--output", out_j,
+               "--method", "jaccard", "--threshold-milli", "800"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # doc 3 is a near-dup of 1/2 at J >= 0.8: one cluster {1,2,3}
+    assert info["survivors"] == 2
+    surv = {r.doc_id: r.n_removed
+            for r in spark.read.parquet(out_j).collect()}
+    assert surv == {1: 2, 4: 0}
+
+    for method, extra in (("minhash", ["--threshold-milli", "800"]),
+                          ("simhash", ["--max-hamming", "6"])):
+        out_m = str(tmp_path / f"surv_{method}")
+        rc = main(["dedup", "--input", inp, "--output", out_m,
+                   "--method", method, *extra])
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # byte-identical docs 1/2 are near-dups under ANY method
+        assert info["survivors"] <= 3 and 1 <= info["removed"] <= 2
