@@ -532,9 +532,10 @@ def _history_table() -> str:
             "are not comparable to k=32 ones) and then removed the "
             "serial terms at the root — off-heap token cache, "
             "vectorized driver union-find, driver-side survivor counts "
-            "(see the family section above): both post-fix draws "
-            "measure the dedup family at **0.808 / 0.807**, over the "
-            "0.8 bar, with identical survivor counts throughout.")
+            "(see the family section above): all three post-fix draws "
+            "measure the dedup family over the 0.8 bar — **0.808 / "
+            "0.807 / 0.847**, median 0.808 — with identical survivor "
+            "counts throughout.")
 
 
 def _kernel_rate() -> int:
@@ -671,12 +672,13 @@ so the efficiency claim is not single-workload.
   2 -> 8 is the representative N -> 4N stand-in.
 - k=128 draw history (r4): 0.718 / 0.525 / 0.633 under the pre-fix
   code (8-core leg swinging 67.8-105.6 s with box contention absorbed
-  by the on-heap token cache), then **0.808** with the off-heap cache +
-  driver survivor fast path (fresh invocation, all three legs). The
-  2-core legs varied only 1.14x across all draws; the flagship
+  by the on-heap token cache), then **0.808 / 0.807 / 0.847** across
+  the three post-fix draws (one isolated per-leg redraw + two full
+  --scaling invocations) — every post-fix draw over the 0.8 bar,
+  median 0.808, identical survivor counts throughout. The flagship
   family's 8-core legs in the same invocations were stable throughout
-  (70.7 / 70.9 / 72.2 s) — the instability was specific to this
-  family's memory profile, which fix (2) addressed at the root.
+  — the pre-fix instability was specific to this family's memory
+  profile, which fix (2) addressed at the root.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — scaling evidence (north rule)

@@ -125,6 +125,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="only pair docs sharing this column (e.g. lang)")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
+    dd.add_argument("--checkpoint-dir", default=None,
+                    help="checkpoint the pair + survivor stages (durable, "
+                         "resumable — rerun with the same run-id resumes)")
+    dd.add_argument("--run-id", default="dedup0")
 
     rp = sub.add_parser("repl", help="interactive query/insert/delete loop")
     rp.add_argument("--dict", required=True)
@@ -268,6 +272,25 @@ def main(argv: list[str] | None = None) -> int:
             token_jaccard_pairs, unpersist_inputs)
         docs = spark.read.parquet(args.input)
         n_docs = docs.count()
+        if args.checkpoint_dir:
+            from liblevenshtein_rust_spark.plans.pipeline import (
+                DedupConfig, run_dedup_pipeline)
+            cfg = DedupConfig(
+                checkpoint_dir=args.checkpoint_dir, run_id=args.run_id,
+                method=args.method, threshold_milli=args.threshold_milli,
+                max_hamming=args.max_hamming, group_col=args.group_col,
+                id_col=args.id_col, text_col=args.text_col)
+            res = run_dedup_pipeline(spark, docs, cfg)
+            res["survivors"].write.mode("overwrite").parquet(args.output)
+            n_surv = spark.read.parquet(args.output).count()
+            print(json.dumps({"method": args.method, "docs": n_docs,
+                              "survivors": n_surv,
+                              "removed": n_docs - n_surv,
+                              "output": args.output,
+                              "stages": {k: v for k, v in
+                                         res["info"].items()}},
+                             default=str))
+            return 0
         if args.method == "exact":
             groups = exact_dedup(docs, id_col=args.id_col,
                                  text_col=args.text_col)

@@ -66,7 +66,25 @@ class PipelineConfig:
 
 #: join key per bucketable stage (the column later equi-joins hit)
 _BUCKET_KEYS = {"terms": "term_id", "scored_pairs": "id_a",
-                "clusters": "term_id"}
+                "clusters": "term_id", "dedup_pairs": "id_a"}
+
+
+@dataclass
+class DedupConfig:
+    """Config for the checkpointed document-dedup pipeline (same
+    checkpoint/lineage/resume discipline as the linkage PipelineConfig —
+    candidate-pair and survivor stages are durable, idempotent tables)."""
+    checkpoint_dir: str
+    run_id: str = "dedup0"
+    method: str = "jaccard"      # exact | jaccard | minhash | simhash
+    threshold_milli: int = 900   # token-Jaccard threshold (jaccard/minhash)
+    max_hamming: int = 3         # SimHash bit distance
+    group_col: str | None = None
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    table_format: str = "parquet"
+    bucket_by: int | None = None
+    extra: dict = field(default_factory=dict)
 
 
 class _Runner:
@@ -222,3 +240,71 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         "turn_entities": turn_entities,
         "info": r.info,
     }
+
+
+def run_dedup_pipeline(spark: SparkSession, docs: DataFrame,
+                       cfg: DedupConfig) -> dict:
+    """Run (or resume) the checkpointed document-dedup pipeline:
+
+        0 dedup_pairs      candidate/verified near-dup pairs (or exact
+                           fingerprint groups for method="exact")
+        1 dedup_survivors  surviving docs + n_removed per survivor
+
+    Both stages are durable checkpoint tables with the same per-partition
+    lineage + metrics sidecars as the linkage pipeline; re-running with
+    the same (checkpoint_dir, run_id) resumes each stage read-only. On a
+    100-TB corpus the pair stage is the expensive one — checkpointing it
+    means survivor-policy changes (or downstream re-reads) never re-run
+    the join."""
+    from liblevenshtein_rust_spark.operators.dedup import (
+        exact_dedup, minhash_lsh_pairs, near_dup_dedup, simhash_pairs,
+        token_jaccard_pairs)
+
+    r = _Runner(spark, cfg)
+
+    def s_pairs():
+        if cfg.method == "exact":
+            return exact_dedup(docs, id_col=cfg.id_col,
+                               text_col=cfg.text_col)
+        if cfg.method == "jaccard":
+            return token_jaccard_pairs(
+                docs, id_col=cfg.id_col, text_col=cfg.text_col,
+                group_col=cfg.group_col,
+                min_ratio_milli=cfg.threshold_milli)
+        if cfg.method == "minhash":
+            return minhash_lsh_pairs(
+                docs, id_col=cfg.id_col, text_col=cfg.text_col,
+                jaccard_threshold=cfg.threshold_milli / 1000.0)
+        if cfg.method == "simhash":
+            return simhash_pairs(docs, id_col=cfg.id_col,
+                                 text_col=cfg.text_col,
+                                 max_hamming=cfg.max_hamming)
+        raise ValueError(f"unknown dedup method {cfg.method!r}")
+
+    pairs = r.stage("dedup_pairs", s_pairs)
+
+    def s_survivors():
+        if cfg.method == "exact":
+            return docs.join(
+                pairs.select(F.col("rep_id").alias(cfg.id_col),
+                             (F.col("n_docs") - F.lit(1)).cast("int")
+                             .alias("n_removed")),
+                cfg.id_col)
+        return near_dup_dedup(docs, pairs, id_col=cfg.id_col)
+
+    survivors = r.stage("dedup_survivors", s_survivors)
+
+    metrics_rows = [
+        (cfg.run_id, name, bool(v.get("resumed")), float(v["seconds"]),
+         int(v.get("rows", -1)))
+        for name, v in r.info.items()
+    ]
+    metrics = spark.createDataFrame(
+        metrics_rows, ["run_id", "stage", "resumed", "seconds", "rows"])
+    metrics.write.mode("overwrite").parquet(
+        os.path.join(cfg.checkpoint_dir, cfg.run_id, "_metrics"))
+    from liblevenshtein_rust_spark.session import fs_write_text
+    fs_write_text(spark,
+                  os.path.join(cfg.checkpoint_dir, cfg.run_id, "info.json"),
+                  json.dumps(r.info, indent=2, default=str))
+    return {"pairs": pairs, "survivors": survivors, "info": r.info}

@@ -241,3 +241,30 @@ def test_cli_dedup_methods(spark, tmp_path, capsys):
         info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         # byte-identical docs 1/2 are near-dups under ANY method
         assert info["survivors"] <= 3 and 1 <= info["removed"] <= 2
+
+
+def test_cli_dedup_checkpointed_resume(spark, tmp_path, capsys):
+    """--checkpoint-dir routes through the durable pair/survivor stages;
+    a rerun with the same run-id resumes both."""
+    from liblevenshtein_rust_spark.cli import main
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "a very different text about nothing in particular at all")]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "surv")
+    ck = str(tmp_path / "ck")
+    argv = ["dedup", "--input", inp, "--output", out, "--method", "jaccard",
+            "--threshold-milli", "900", "--checkpoint-dir", ck,
+            "--run-id", "c1"]
+    rc = main(argv)
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["survivors"] == 2 and info["removed"] == 1
+    assert not info["stages"]["dedup_pairs"]["resumed"]
+    rc = main(argv)
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["stages"]["dedup_pairs"]["resumed"] \
+        and info["stages"]["dedup_survivors"]["resumed"]

@@ -230,3 +230,30 @@ def test_uf_label_pandas_long_chain():
     lab = dict(zip(out["node"], out["entity_id"]))
     assert all(lab[f"x{i:04d}"] == "x0000" for i in range(n))
     assert lab["z0"] == "z0" and lab["z1"] == "z0"
+
+
+def test_uf_label_pandas_property_vs_dict_oracle():
+    """Hypothesis: on arbitrary random graphs (mixed int-coded string ids,
+    self-loop-free), the vectorized labeler equals the dict union-find
+    oracle node-for-node."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+    from liblevenshtein_rust_spark.operators.cluster import _uf_label_pandas
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(
+            lambda p: p[0] != p[1]),
+        min_size=1, max_size=200))
+    def run(raw_edges):
+        edges = [(f"v{min(a, b):02d}", f"v{max(a, b):02d}")
+                 for a, b in raw_edges]
+        nodes = sorted({x for e in edges for x in e})
+        exp = _oracle(edges, nodes)
+        pdf = pd.DataFrame({"u": [e[0] for e in edges],
+                            "v": [e[1] for e in edges]})
+        out = _uf_label_pandas(pdf, "node")
+        got = dict(zip(out["node"], out["entity_id"]))
+        assert got == exp
+
+    run()

@@ -121,3 +121,63 @@ def test_pipeline_salted_run_matches_unsalted(spark, tmp_path):
     pa = {tuple(r) for r in a["scored_pairs"].select("id_a", "id_b", "distance").collect()}
     pb = {tuple(r) for r in b["scored_pairs"].select("id_a", "id_b", "distance").collect()}
     assert pa == pb and pa
+
+
+def _dedup_docs(spark):
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog by the "
+                  "river bank every single morning before dawn breaks"),
+        (2, "en", "the quick brown fox jumps over the lazy dog by the "
+                  "river bank every single morning before dawn breaks"),
+        (3, "en", "quick brown fox jumps over the lazy dog by the "
+                  "river bank every single morning before dawn breaks"),
+        (4, "en", "a completely different document about adaptive query "
+                  "execution and shuffle partition coalescing in spark"),
+        (5, "de", "ein ganz anderes dokument ueber verteilte systeme und "
+                  "datenverarbeitung im grossen massstab mit spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_dedup_pipeline_matches_direct_and_resumes(spark, tmp_path):
+    from liblevenshtein_rust_spark.operators.dedup import (
+        near_dup_dedup, token_jaccard_pairs)
+    from liblevenshtein_rust_spark.plans.pipeline import (
+        DedupConfig, run_dedup_pipeline)
+
+    docs = _dedup_docs(spark)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"), run_id="d1",
+                      method="jaccard", threshold_milli=800,
+                      group_col="lang")
+    res = run_dedup_pipeline(spark, docs, cfg)
+    got = {(r.doc_id, r.n_removed) for r in res["survivors"].collect()}
+    direct = near_dup_dedup(
+        docs, token_jaccard_pairs(docs, group_col="lang",
+                                  min_ratio_milli=800))
+    assert got == {(r.doc_id, r.n_removed) for r in direct.collect()}
+    assert got == {(1, 2), (4, 0), (5, 0)}
+    assert all(not v["resumed"] for v in res["info"].values())
+
+    again = run_dedup_pipeline(spark, docs, cfg)
+    assert all(v["resumed"] for v in again["info"].values())
+    assert {(r.doc_id, r.n_removed)
+            for r in again["survivors"].collect()} == got
+    # lineage + metrics sidecars exist for both stages
+    import os
+    base = os.path.join(str(tmp_path / "ck"), "d1")
+    for stage in ("dedup_pairs", "dedup_survivors"):
+        assert os.path.exists(os.path.join(base, "_lineage", stage))
+    assert os.path.exists(os.path.join(base, "_metrics"))
+
+
+def test_dedup_pipeline_exact_method(spark, tmp_path):
+    from liblevenshtein_rust_spark.plans.pipeline import (
+        DedupConfig, run_dedup_pipeline)
+
+    docs = _dedup_docs(spark)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"), run_id="dx",
+                      method="exact")
+    res = run_dedup_pipeline(spark, docs, cfg)
+    got = {(r.doc_id, r.n_removed) for r in res["survivors"].collect()}
+    # only 1/2 are byte-identical; 3/4/5 survive untouched
+    assert got == {(1, 1), (3, 0), (4, 0), (5, 0)}
