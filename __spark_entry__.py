@@ -191,6 +191,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _linkage_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-field FS corpus, sized by the sf (same
+    least(cap, |documents|) convention as the mention corpus)."""
+    from liblevenshtein_rust_spark.sources.corpus import (
+        synthetic_linkage_records)
+    n_docs = _docs(spark, sf_dir).count()
+    return synthetic_linkage_records(spark, min(500, n_docs))
+
+
 def _term_pairs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     """Distinct-term fuzzy self-join; output normalized by term text.
 
@@ -231,14 +240,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_dict"] = lambda s, d: _term_df(s, d)
 
     # --- projections / filters / predicates (§2.2) ---
-    q["contains_words"] = lambda s, d: (
+    # contains(term) + prefix navigation in one query (r4 registry
+    # consolidation, freeing a window slot for the FS linkage tier),
+    # tagged by `kind`; -1 freq sentinel on the membership rows
+    q["membership_words"] = lambda s, d: (
         _queries_df(s, CONTAINS_QUERIES)
         .join(_word_freq(s, d), F.col("q_text") == F.col("w"), "left_semi")
-        .select(F.col("q_text").alias("query"))
-    )
-    q["prefix_words"] = lambda s, d: (
-        _word_freq(s, d).where(F.col("w").startswith("s"))
-        .select(F.col("w").alias("term"), "freq")
+        .select(F.lit("contains").alias("kind"),
+                F.col("q_text").alias("term"),
+                F.lit(-1).cast("long").alias("freq"))
+        .unionByName(
+            _word_freq(s, d).where(F.col("w").startswith("s"))
+            .select(F.lit("prefix").alias("kind"),
+                    F.col("w").alias("term"),
+                    F.col("freq").cast("long").alias("freq")))
     )
     q["value_filtered_fuzzy"] = lambda s, d: (
         fuzzy_join(_queries_df(s, WORD_QUERIES),
@@ -310,8 +325,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             query_col="q_id")
         .select(F.col("q_text").alias("query"), "term", "distance", "rank")
     )
-    q["union_merge_dicts"] = lambda s, d: _union_merge(s, d)
-    q["union_replace_dicts"] = lambda s, d: _union_replace(s, d)
+    # dictionary union, BOTH merge (freq-sum) and replace (last-wins)
+    # semantics in one query (r4 registry consolidation), tagged by `mode`
+    q["union_dicts"] = lambda s, d: (
+        _union_merge(s, d)
+        .select(F.lit("merge").alias("mode"), "term", "freq")
+        .unionByName(
+            _union_replace(s, d)
+            .select(F.lit("replace").alias("mode"), "term", "freq"))
+    )
 
     # --- set ops / clustering ---
     q["term_clusters_d1"] = lambda s, d: _term_clusters(s, d)
@@ -538,7 +560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return matched.select(
             F.col("q_text").alias("query"), "term",
             F.round(F.col("cost") * 1000).cast("int").alias("cost_milli"))
-    q["weighted_fuzzy"] = _weighted_fuzzy
 
     # multi-char weighted ops IN THE SCALE PATH (r2 VERDICT gap #2): the
     # reference's ph→f ⟨2,1,weight⟩ digraph (operation_set.rs:78-240)
@@ -562,7 +583,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return matched.select(
             F.col("q_text").alias("query"), "term",
             F.round(F.col("cost") * 1000).cast("int").alias("cost_milli"))
-    q["weighted_fuzzy_multichar"] = _weighted_multichar
+
+    # both weighted shapes in one query (r4 registry consolidation),
+    # tagged by `variant`: single-char restricted-class weights and the
+    # multi-char ph→f digraph, each through the blocked weighted join
+    q["weighted_fuzzy"] = lambda s, d: (
+        _weighted_fuzzy(s, d)
+        .select(F.lit("charset").alias("variant"), "query", "term",
+                "cost_milli")
+        .unionByName(
+            _weighted_multichar(s, d)
+            .select(F.lit("multichar").alias("variant"), "query", "term",
+                    "cost_milli"))
+    )
 
     # phonetic canonicalization keys, both rule chains in one query (r3
     # verdict registry consolidation): the 3-rule phonetic chain AND the
@@ -735,6 +768,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("blocker", F.lit("zompist_phonetic"))
         return sn.unionByName(ph)
     q["blocking_quality"] = _blocking_quality
+
+    # --- Fellegi-Sunter probabilistic linkage (new r4) -----------------
+    # Multi-field evidence combination over the deterministic linkage-
+    # record corpus (sources/corpus.synthetic_linkage_records): blocked
+    # candidate pairs -> gamma comparison vectors (codegen CASE +
+    # bounded levenshtein) -> integer log2(m/u) match weights ->
+    # threshold -> clusters. Three driver-oracled surfaces:
+    # - fs_scored_pairs: every candidate pair with its gamma vector,
+    #   integer milli match weight, and classification (all-integer
+    #   arithmetic — the weights use power-of-two m/u ratios);
+    # - fs_em_params: EM-estimated lambda and per-field m/u after 20
+    #   fixed-point iterations from a fixed init, parameters snapped to
+    #   the 1e-9 grid each round so the DuckDB twin (which unrolls the
+    #   same 20 iterations as generated SQL) reproduces them bit-for-bit;
+    # - fs_linkage_f1: end-to-end FS linkage evaluated with the north-
+    #   rule pairwise-F1 metric (weights are chosen so the planted corpus
+    #   separates perfectly: f1_milli = 1000 iff blocking, scoring, and
+    #   clustering are all exactly right).
+    def _fs_scored(s, d):
+        import liblevenshtein_rust_spark.operators.probabilistic as P
+        recs = _linkage_records(s, d)
+        g = P.comparison_vectors(P.block_candidate_pairs(recs),
+                                 P.transcript_field_specs())
+        return (P.score_pairs(g, P.transcript_field_specs())
+                .select(F.col("rec_id_l").alias("id_a"),
+                        F.col("rec_id_r").alias("id_b"),
+                        "g_name", "g_city", "g_phone",
+                        "weight_milli", "is_match"))
+    q["fs_scored_pairs"] = _fs_scored
+
+    def _fs_em(s, d):
+        import liblevenshtein_rust_spark.operators.probabilistic as P
+        recs = _linkage_records(s, d)
+        specs = P.transcript_field_specs()
+        g = P.comparison_vectors(P.block_candidate_pairs(recs), specs)
+        return P.fs_em_params(s, g, specs, n_iter=20)
+    q["fs_em_params"] = _fs_em
+
+    def _fs_linkage_f1(s, d):
+        from liblevenshtein_rust_spark.operators.linkage_eval import (
+            pairwise_f1)
+        from liblevenshtein_rust_spark.operators.probabilistic import fs_link
+        recs = _linkage_records(s, d)
+        labeled = recs.select("rec_id", "entity").join(fs_link(recs),
+                                                       "rec_id")
+        return pairwise_f1(labeled, truth_col="entity",
+                           pred_col="entity_id")
+    q["fs_linkage_f1"] = _fs_linkage_f1
 
     # --- restricted zero-cost substitutions, both preset shapes in one
     # query (r3 verdict registry consolidation), tagged by `variant`:
@@ -973,6 +1054,125 @@ def _union_replace(s: SparkSession, d: str) -> DataFrame:
             .select(F.col("w").alias("term"), "freq"))
 
 
+# --- Fellegi-Sunter oracle SQL (DuckDB dialect) ------------------------
+# Regenerates sources/corpus.synthetic_linkage_records with the same
+# index arithmetic, derives blocked pairs + gamma vectors; shared by the
+# three fs_* oracles.
+_FS_LINKREC_CTE = (
+    "lrids AS (SELECT CAST(unnest(generate_series(0, "
+    "  (SELECT CAST(least(500, count(*)) AS INT) - 1 FROM documents)"
+    ")) AS BIGINT) AS i), "
+    "lrb AS (SELECT i, "
+    "  repeat(chr(97 + CAST((i // 676) % 26 AS INT)), 6) || "
+    "  repeat(chr(97 + CAST((i // 26) % 26 AS INT)), 6) || "
+    "  repeat(chr(97 + CAST(i % 26 AS INT)), 6) AS code, "
+    "  CAST(i // 5 AS INT) AS block, "
+    "  'c' || CAST((i * 7) % 8 AS VARCHAR) AS city0, "
+    "  'c' || CAST((i * 7 + 3) % 8 AS VARCHAR) AS cityc, "
+    "  lpad(CAST((i * 2654435761 + 99991) % 10000000000 AS VARCHAR), "
+    "       10, '0') AS phone0, "
+    "  CAST(i % 18 + 1 AS INT) AS p1, CAST(i % 10 + 1 AS INT) AS pp "
+    "  FROM lrids), "
+    "recs AS ("
+    "  SELECT code || '#0' AS rec_id, block, code AS name, "
+    "    city0 AS city, phone0 AS phone, code AS entity FROM lrb "
+    "  UNION ALL SELECT code || '#1', block, "
+    "    CASE WHEN i % 2 = 0 THEN substr(code,1,p1-1) || substr(code,p1+1) "
+    "         ELSE code END, "
+    "    CASE WHEN i % 7 = 0 THEN cityc ELSE city0 END, "
+    "    CASE WHEN i % 3 = 0 THEN substr(phone0,1,pp-1) || "
+    "      CAST((CAST(substr(phone0,pp,1) AS INT) + 1) % 10 AS VARCHAR) || "
+    "      substr(phone0,pp+1) ELSE phone0 END, "
+    "    code FROM lrb), "
+    "gp AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b, "
+    "  CASE WHEN a.name = b.name THEN 0 "
+    "       WHEN levenshtein(a.name, b.name) <= 2 THEN 1 ELSE 2 END "
+    "    AS g_name, "
+    "  CASE WHEN a.city = b.city THEN 0 ELSE 1 END AS g_city, "
+    "  CASE WHEN a.phone = b.phone THEN 0 ELSE 1 END AS g_phone "
+    "  FROM recs a JOIN recs b "
+    "  ON a.block = b.block AND a.rec_id < b.rec_id)"
+)
+
+# integer milli match weight over the gamma vector (mirrors
+# probabilistic.DEFAULT_WEIGHTS / match_weight_expr)
+_FS_WEIGHT = (
+    "1000 * ((CASE g_name WHEN 0 THEN 8 WHEN 1 THEN 7 ELSE -8 END) + "
+    "(CASE g_city WHEN 0 THEN 2 ELSE -2 END) + "
+    "(CASE g_phone WHEN 0 THEN 3 ELSE -4 END))"
+)
+
+
+def _fs_em_sql(n_iter: int = 20) -> str:
+    """Generated DuckDB SQL unrolling the same fixed-point EM that
+    probabilistic.em_fit runs on the driver: identical init, identical
+    formulas, identical clamp + 1e-9-grid quantization each iteration
+    (floor/multiply/divide are exactly-rounded IEEE double ops, so both
+    engines produce bit-identical parameters)."""
+    def qcl(e: str) -> str:
+        return ("floor(least(greatest(" + e + ", 0.000001), 0.999999)"
+                " * 1000000000 + 0.5) / 1000000000")
+
+    init = [("lam", 0.5),
+            ("mn0", 0.6), ("mn1", 0.3), ("mn2", 0.1),
+            ("un0", 0.1), ("un1", 0.2), ("un2", 0.7),
+            ("mc0", 0.9), ("mc1", 0.1), ("uc0", 0.2), ("uc1", 0.8),
+            ("mp0", 0.9), ("mp1", 0.1), ("up0", 0.2), ("up1", 0.8)]
+    # AS MATERIALIZED pins each step: DuckDB otherwise inlines the CTE
+    # chain per-reference and the 20-iteration unroll explodes
+    # (456 s -> <1 s measured at sf0.01)
+    ctes = [
+        "pat AS MATERIALIZED (SELECT g_name, g_city, g_phone, "
+        "CAST(count(*) AS DOUBLE) AS c FROM gp "
+        "GROUP BY g_name, g_city, g_phone)",
+        "p0 AS MATERIALIZED (SELECT " + ", ".join(
+            f"CAST({v} AS DOUBLE) AS {k}" for k, v in init) + ")",
+    ]
+    m_case = ("(CASE g_name WHEN 0 THEN p.mn0 WHEN 1 THEN p.mn1 "
+              "ELSE p.mn2 END) * (CASE g_city WHEN 0 THEN p.mc0 "
+              "ELSE p.mc1 END) * (CASE g_phone WHEN 0 THEN p.mp0 "
+              "ELSE p.mp1 END)")
+    u_case = ("(CASE g_name WHEN 0 THEN p.un0 WHEN 1 THEN p.un1 "
+              "ELSE p.un2 END) * (CASE g_city WHEN 0 THEN p.uc0 "
+              "ELSE p.uc1 END) * (CASE g_phone WHEN 0 THEN p.up0 "
+              "ELSE p.up1 END)")
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"e{k} AS MATERIALIZED (SELECT g_name, g_city, g_phone, c, "
+            f"p.lam * {m_case} AS pm, (1 - p.lam) * {u_case} AS pu "
+            f"FROM pat, p{k-1} p)")
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT g_name, g_city, g_phone, c, "
+            f"pm / (pm + pu) AS w FROM e{k})")
+        upd = [qcl("sum(w * c) / sum(c)") + " AS lam"]
+        for fld, col, levels in (("g_name", "n", 3), ("g_city", "c", 2),
+                                 ("g_phone", "p", 2)):
+            for lvl in range(levels):
+                upd.append(qcl(
+                    f"sum(CASE WHEN {fld} = {lvl} THEN w * c ELSE 0 END)"
+                    " / sum(w * c)") + f" AS m{col}{lvl}")
+                upd.append(qcl(
+                    f"sum(CASE WHEN {fld} = {lvl} THEN (1 - w) * c "
+                    "ELSE 0 END) / sum((1 - w) * c)") + f" AS u{col}{lvl}")
+        ctes.append(f"p{k} AS MATERIALIZED (SELECT " + ", ".join(upd)
+                    + f" FROM w{k})")
+    pk = f"p{n_iter}"
+    out = [
+        "SELECT 'lambda' AS field, CAST(-1 AS INT) AS level, "
+        "CAST(floor(lam * 1000 + 0.5) AS BIGINT) AS m_milli, "
+        f"CAST(-1 AS BIGINT) AS u_milli FROM {pk}"]
+    for fname, col, levels in (("name", "n", 3), ("city", "c", 2),
+                               ("phone", "p", 2)):
+        for lvl in range(levels):
+            out.append(
+                f"SELECT '{fname}', CAST({lvl} AS INT), "
+                f"CAST(floor(m{col}{lvl} * 1000 + 0.5) AS BIGINT), "
+                f"CAST(floor(u{col}{lvl} * 1000 + 0.5) AS BIGINT) "
+                f"FROM {pk}")
+    return (f"WITH {_FS_LINKREC_CTE}, " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(out))
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -984,15 +1184,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM ct GROUP BY canon_text"
     )
 
-    o["contains_words"] = (
+    o["membership_words"] = (
         f"WITH {_TRANSCRIPTS_CTE.strip()}, {_WORDS_CTE.strip()}, "
         f"q(query) AS (VALUES {_SQL_CONTAINS_QUERIES}) "
-        "SELECT query FROM q WHERE query IN (SELECT w FROM wf)"
-    )
-
-    o["prefix_words"] = (
-        f"WITH {_TRANSCRIPTS_CTE.strip()}, {_WORDS_CTE.strip()} "
-        "SELECT w AS term, freq FROM wf WHERE w LIKE 's%'"
+        "SELECT 'contains' AS kind, query AS term, "
+        "CAST(-1 AS BIGINT) AS freq "
+        "FROM q WHERE query IN (SELECT w FROM wf) "
+        "UNION ALL SELECT 'prefix', w, CAST(freq AS BIGINT) "
+        "FROM wf WHERE w LIKE 's%'"
     )
 
     o["value_filtered_fuzzy"] = (
@@ -1065,7 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query, term, distance, rank FROM r WHERE rank <= 3"
     )
 
-    o["union_merge_dicts"] = (
+    _union_merge_sql = (
         f"WITH {_TRANSCRIPTS_CTE.strip()}, "
         "wu AS (SELECT unnest(string_split(canon_text, ' ')) AS w FROM ct WHERE role = 'user'), "
         "wa AS (SELECT unnest(string_split(canon_text, ' ')) AS w FROM ct WHERE role = 'assistant'), "
@@ -1074,7 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT w AS term, CAST(sum(freq) AS BIGINT) AS freq FROM u GROUP BY w"
     )
 
-    o["union_replace_dicts"] = (
+    _union_replace_sql = (
         f"WITH {_TRANSCRIPTS_CTE.strip()}, "
         "wu AS (SELECT unnest(string_split(canon_text, ' ')) AS w FROM ct WHERE role = 'user'), "
         "wa AS (SELECT unnest(string_split(canon_text, ' ')) AS w FROM ct WHERE role = 'assistant'), "
@@ -1083,6 +1282,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT w AS term, CAST(freq AS BIGINT) AS freq FROM a "
         "UNION ALL SELECT w, CAST(freq AS BIGINT) FROM u "
         "WHERE w NOT IN (SELECT w FROM a)"
+    )
+    o["union_dicts"] = (
+        f"SELECT 'merge' AS mode, term, freq FROM ({_union_merge_sql}) "
+        "UNION ALL "
+        f"SELECT 'replace', term, freq FROM ({_union_replace_sql})"
     )
 
     # incremental_linkage twin: plain full-recompute closure over the word
@@ -1236,7 +1440,7 @@ def oracle_sql() -> dict[str, str]:
     _wq = ", ".join(f"('{t}')" for t in WEIGHTED_QUERIES)
     _leet = ("replace(replace(replace(replace({c}, '0', 'o'), '1', 'l'), "
              "'3', 'e'), '5', 's')")
-    o["weighted_fuzzy"] = (
+    _weighted_charset_sql = (
         f"WITH {_TRANSCRIPTS_CTE.strip()}, {_WORDS_CTE.strip()}, "
         f"q(query) AS (VALUES {_wq}), "
         "w AS (SELECT DISTINCT w AS term FROM wf), "
@@ -1259,7 +1463,7 @@ def oracle_sql() -> dict[str, str]:
         "WHERE least(coalesce(c_plain, 99999), coalesce(c_rest, 99999)) <= 1000"
     )
 
-    o["weighted_fuzzy_multichar"] = (
+    _weighted_multichar_sql = (
         "WITH d(term) AS (VALUES ('phone'),('fone'),('graph'),('graf'),"
         "('photo'),('tone'),('stone')), "
         "q(query) AS (VALUES ('fone'),('graph'),('foto')), "
@@ -1273,6 +1477,12 @@ def oracle_sql() -> dict[str, str]:
         "coalesce(c1, 99999), coalesce(c2, 99999)) AS INT) AS cost_milli "
         "FROM c WHERE least(coalesce(c0, 99999), coalesce(c1, 99999), "
         "coalesce(c2, 99999)) <= 1000"
+    )
+    o["weighted_fuzzy"] = (
+        "SELECT 'charset' AS variant, query, term, cost_milli "
+        f"FROM ({_weighted_charset_sql}) "
+        "UNION ALL SELECT 'multichar', query, term, cost_milli "
+        f"FROM ({_weighted_multichar_sql})"
     )
 
     o["near_dup_dedup_docs"] = (
@@ -1840,6 +2050,50 @@ def oracle_sql() -> dict[str, str]:
         f"({_bq_sn_sql}) "
         "UNION ALL SELECT *, 'zompist_phonetic' AS blocker FROM "
         f"({_bq_ph_sql})"
+    )
+
+    # --- Fellegi-Sunter twins (new r4): regenerate the linkage-record
+    # corpus + gamma vectors by the same index arithmetic, then (a) the
+    # all-integer match-weight scoring, (b) 20 unrolled EM iterations
+    # with per-round 1e-9-grid quantization (bit-identical to the
+    # driver-side fixed point), (c) end-to-end FS clusters evaluated by
+    # recursive-CTE closure + the shared pairwise-F1 closed form.
+    o["fs_scored_pairs"] = (
+        f"WITH {_FS_LINKREC_CTE} "
+        "SELECT id_a, id_b, g_name, g_city, g_phone, "
+        f"CAST({_FS_WEIGHT} AS BIGINT) AS weight_milli, "
+        f"CAST(CASE WHEN {_FS_WEIGHT} >= 0 THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_match FROM gp"
+    )
+    o["fs_em_params"] = _fs_em_sql(20)
+    o["fs_linkage_f1"] = (
+        f"WITH RECURSIVE {_FS_LINKREC_CTE}, "
+        f"me AS (SELECT id_a, id_b FROM gp WHERE {_FS_WEIGHT} >= 0), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM me "
+        "  UNION ALL SELECT id_b, id_a FROM me), "
+        "reach(src, dst) AS (SELECT rec_id, rec_id FROM recs "
+        "  UNION SELECT r.src, e.b FROM reach r JOIN edges e "
+        "  ON r.dst = e.a), "
+        "cl AS (SELECT src AS rec_id, min(dst) AS entity_id "
+        "  FROM reach GROUP BY src), "
+        "lab AS (SELECT recs.entity, cl.entity_id "
+        "  FROM recs JOIN cl USING (rec_id)), "
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS n_mentions, "
+        "  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS true_pairs "
+        "  FROM (SELECT count(*) AS n FROM lab GROUP BY entity)), "
+        "p AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pred_pairs "
+        "  FROM (SELECT count(*) AS n FROM lab GROUP BY entity_id)), "
+        "tpx AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp "
+        "  FROM (SELECT count(*) AS n FROM lab "
+        "        GROUP BY entity, entity_id)) "
+        "SELECT n_mentions, true_pairs, pred_pairs, tp, "
+        "  CAST((1000 * tp) // greatest(pred_pairs, 1) AS BIGINT) "
+        "    AS prec_milli, "
+        "  CAST((1000 * tp) // greatest(true_pairs, 1) AS BIGINT) "
+        "    AS rec_milli, "
+        "  CAST((2000 * tp) // greatest(pred_pairs + true_pairs, 1) "
+        "    AS BIGINT) AS f1_milli "
+        "FROM t, p, tpx"
     )
 
     o["embedding_topk"] = (

@@ -255,3 +255,62 @@ def synthetic_entity_mentions(spark: SparkSession, n_entities: int) -> DataFrame
                      F.expr(sub.format(s="s1", p="q2")).alias("text"),
                      F.expr("code || '!'").alias("entity")))
     return m0.unionByName(m1).unionByName(m2).unionByName(decoy)
+
+
+def synthetic_linkage_records(spark: SparkSession, n_entities: int) -> DataFrame:
+    """Deterministic multi-field record-linkage corpus for Fellegi-Sunter
+    scoring: (rec_id, block, name, city, phone, entity).
+
+    Two records per entity — ``#0`` pristine and ``#1`` with per-field
+    corruptions planted by index arithmetic (an ANSI-SQL twin regenerates
+    the corpus bit-for-bit, same discipline as
+    ``synthetic_entity_mentions``):
+
+    - ``name``: the 18-char three-run base-26 code (distinct entities sit
+      at Levenshtein distance >= 6); ``#1`` drops one char when
+      ``i % 2 = 0``.
+    - ``city``: one of 8 pool values ``c0..c7`` chosen by ``(i*7) % 8``;
+      ``#1`` is moved to a different pool value when ``i % 7 = 0`` —
+      so matches agree ~6/7 of the time while non-matches agree ~1/8
+      (the m/u separation EM has to find).
+    - ``phone``: 10 digits of ``(i*2654435761 + 99991) % 1e10``; ``#1``
+      bumps one digit (mod 10, so it always changes) when ``i % 3 = 0``.
+    - ``block``: ``i div 5`` — the fixed blocking key of the north rule;
+      candidate pairs are generated within blocks only, giving every
+      block 45 record pairs of which 5 are true matches.
+
+    The corruption residues (2, 3, 7) are pairwise coprime so every
+    agreement-pattern combination occurs, exercising all comparison
+    vectors EM iterates over.
+    """
+    if n_entities < 1:
+        raise ValueError("n_entities must be >= 1")
+    base = (
+        spark.range(int(n_entities)).select(F.col("id").alias("i"))
+        .withColumn("code", F.expr(
+            "repeat(char(97 + (i div 676) % 26), 6) || "
+            "repeat(char(97 + (i div 26) % 26), 6) || "
+            "repeat(char(97 + i % 26), 6)"))
+        .withColumn("block", F.expr("cast(i div 5 as int)"))
+        .withColumn("city0", F.expr("'c' || cast((i * 7) % 8 as string)"))
+        .withColumn("cityc", F.expr("'c' || cast((i * 7 + 3) % 8 as string)"))
+        .withColumn("phone0", F.expr(
+            "lpad(cast((i * 2654435761 + 99991) % 10000000000 as string), "
+            "10, '0')"))
+        .withColumn("p1", F.expr("cast(i % 18 + 1 as int)"))
+        .withColumn("pp", F.expr("cast(i % 10 + 1 as int)"))
+    )
+    r0 = base.select(
+        F.expr("code || '#0'").alias("rec_id"), "block",
+        F.col("code").alias("name"), F.col("city0").alias("city"),
+        F.col("phone0").alias("phone"), F.col("code").alias("entity"))
+    r1 = base.select(
+        F.expr("code || '#1'").alias("rec_id"), "block",
+        F.expr("CASE WHEN i % 2 = 0 THEN substr(code,1,p1-1) || "
+               "substr(code,p1+1) ELSE code END").alias("name"),
+        F.expr("CASE WHEN i % 7 = 0 THEN cityc ELSE city0 END").alias("city"),
+        F.expr("CASE WHEN i % 3 = 0 THEN substr(phone0,1,pp-1) || "
+               "cast((cast(substr(phone0,pp,1) as int) + 1) % 10 as string) "
+               "|| substr(phone0,pp+1) ELSE phone0 END").alias("phone"),
+        F.col("code").alias("entity"))
+    return r0.unionByName(r1)

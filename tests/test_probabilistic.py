@@ -1,0 +1,161 @@
+"""Fellegi-Sunter probabilistic linkage: corpus properties, comparison
+vectors, EM correctness (vs an independent numpy implementation),
+scoring separation, end-to-end cluster quality, and plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import liblevenshtein_rust_spark.operators.probabilistic as P
+from liblevenshtein_rust_spark.operators.linkage_eval import pairwise_f1
+from liblevenshtein_rust_spark.sources.corpus import (
+    synthetic_linkage_records)
+
+N_ENT = 300
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    return synthetic_linkage_records(spark, N_ENT).cache()
+
+
+@pytest.fixture(scope="module")
+def gammas(spark, records):
+    specs = P.transcript_field_specs()
+    pairs = P.block_candidate_pairs(records, extra_cols=("entity",))
+    return P.comparison_vectors(pairs, specs).cache()
+
+
+def test_corpus_shape_and_determinism(spark, records):
+    assert records.count() == 2 * N_ENT
+    # regenerating yields the identical table (pure index arithmetic)
+    again = synthetic_linkage_records(spark, N_ENT)
+    assert records.exceptAll(again).count() == 0
+    assert again.exceptAll(records).count() == 0
+    # distinct entity names stay >= 6 edits apart (blocking-safe margin):
+    # check every intra-block cross-entity record pair
+    r = records.select("rec_id", "block", "name", "entity")
+    a, b = r.alias("a"), r.alias("b")
+    min_cross = (
+        a.join(b, "block")
+        .where("a.entity < b.entity")
+        .select(F.levenshtein("a.name", "b.name").alias("d"))
+        .agg(F.min("d")).collect()[0][0])
+    assert min_cross >= 5  # >= 6 between codes, -1 for the deletion rec
+
+
+def test_comparison_vector_levels(spark, gammas):
+    # matches: name gamma follows i%2 (deletion -> level 1, else 0)
+    m = gammas.where("entity_l = entity_r")
+    assert m.where("g_name = 2").count() == 0
+    # non-matches never look name-similar
+    nm = gammas.where("entity_l != entity_r")
+    assert nm.where("g_name != 2").count() == 0
+    # corruption rates: city disagrees on ~1/7 of matches,
+    # phone on ~1/3 (exact counts from the planted residues)
+    n_city = m.where("g_city = 1").count()
+    n_phone = m.where("g_phone = 1").count()
+    assert n_city == len([i for i in range(N_ENT) if i % 7 == 0])
+    assert n_phone == len([i for i in range(N_ENT) if i % 3 == 0])
+
+
+def _numpy_em(rows, specs, n_iter=20):
+    """Independent vectorized EM implementation (same init/clamp/grid
+    contract, different code path) to cross-check em_fit."""
+    g = np.array([r[0] for r in rows])
+    c = np.array([r[1] for r in rows], dtype=np.float64)
+    lam, m0, u0 = P.default_init(specs)
+    m = {s.gamma: np.array(m0[s.gamma]) for s in specs}
+    u = {s.gamma: np.array(u0[s.gamma]) for s in specs}
+    qc = np.vectorize(P._quant_clamp)
+    for _ in range(n_iter):
+        pm = np.full(len(rows), lam)
+        pu = np.full(len(rows), 1.0 - lam)
+        for k, s in enumerate(specs):
+            pm = pm * m[s.gamma][g[:, k]]
+            pu = pu * u[s.gamma][g[:, k]]
+        w = pm / (pm + pu)
+        wc, vc = w * c, (1.0 - w) * c
+        new_m, new_u = {}, {}
+        for k, s in enumerate(specs):
+            new_m[s.gamma] = qc(np.array(
+                [wc[g[:, k] == lvl].sum() for lvl in range(s.levels)])
+                / wc.sum())
+            new_u[s.gamma] = qc(np.array(
+                [vc[g[:, k] == lvl].sum() for lvl in range(s.levels)])
+                / vc.sum())
+        lam = P._quant_clamp(wc.sum() / c.sum())
+        m, u = new_m, new_u
+    return lam, m, u
+
+
+def test_em_matches_independent_numpy_reference(spark, gammas):
+    specs = P.transcript_field_specs()
+    pat = P.pattern_counts(gammas, specs).collect()
+    rows = [(tuple(r[s.gamma] for s in specs), float(r["c"])) for r in pat]
+    lam, m, u = P.em_fit(rows, specs)
+    lam2, m2, u2 = _numpy_em(rows, specs)
+    assert abs(lam - lam2) < 1e-9
+    for s in specs:
+        assert np.allclose(m[s.gamma], m2[s.gamma], atol=1e-9)
+        assert np.allclose(u[s.gamma], u2[s.gamma], atol=1e-9)
+
+
+def test_em_recovers_planted_parameters(spark, gammas):
+    specs = P.transcript_field_specs()
+    pat = P.pattern_counts(gammas, specs).collect()
+    rows = [(tuple(r[s.gamma] for s in specs), float(r["c"])) for r in pat]
+    lam, m, u = P.em_fit(rows, specs)
+    n_pairs = sum(c for _, c in rows)
+    # true match rate: N matches out of all intra-block pairs
+    assert abs(lam - N_ENT / n_pairs) < 0.02
+    # city m: matches agree unless i % 7 == 0
+    true_m_city = 1 - len([i for i in range(N_ENT) if i % 7 == 0]) / N_ENT
+    assert abs(m["g_city"][0] - true_m_city) < 0.05
+    # phone m: matches agree unless i % 3 == 0
+    true_m_phone = 1 - len([i for i in range(N_ENT) if i % 3 == 0]) / N_ENT
+    assert abs(m["g_phone"][0] - true_m_phone) < 0.05
+    # non-matches essentially never agree on name
+    assert u["g_name"][2] > 0.99
+
+
+def test_score_separation_and_classification(spark, gammas):
+    specs = P.transcript_field_specs()
+    sc = P.score_pairs(gammas, specs)
+    r = sc.selectExpr(
+        "min(CASE WHEN entity_l = entity_r THEN weight_milli END) wm",
+        "max(CASE WHEN entity_l != entity_r THEN weight_milli END) bn",
+        "sum(CASE WHEN is_match = 1 AND entity_l != entity_r "
+        "THEN 1 ELSE 0 END) fp",
+        "sum(CASE WHEN is_match = 0 AND entity_l = entity_r "
+        "THEN 1 ELSE 0 END) fn").collect()[0]
+    assert r["wm"] >= 0 > r["bn"]
+    assert r["fp"] == 0 and r["fn"] == 0
+
+
+def test_fs_link_end_to_end_perfect_f1(spark, records):
+    linked = P.fs_link(records)
+    labeled = records.select("rec_id", "entity").join(linked, "rec_id")
+    row = pairwise_f1(labeled, truth_col="entity",
+                      pred_col="entity_id").collect()[0]
+    assert row["f1_milli"] == 1000
+    assert row["true_pairs"] == N_ENT
+
+
+def test_pattern_counts_plan_is_partial_aggregate(spark, gammas):
+    specs = P.transcript_field_specs()
+    plan = P.pattern_counts(gammas, specs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # partial (map-side) + final hash aggregate, no Python in the path
+    assert plan.count("HashAggregate") >= 2
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+
+def test_gamma_plan_stays_codegen(spark, records):
+    specs = P.transcript_field_specs()
+    g = P.comparison_vectors(
+        P.block_candidate_pairs(records), specs)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
