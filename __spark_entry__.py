@@ -278,10 +278,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- joins (§2.3) ---
     q["exact_dup_pairs"] = lambda s, d: _exact_dup_pairs(s, d)
 
-    # one query, BOTH physical paths (r3 verdict: fit the registry to the
-    # driver's 50-query window): the blocked deletion-key join and the
-    # zero-shuffle broadcast-index join (per-worker SymSpell index in one
-    # mapInPandas stage) produce identical result sets, tagged by `path`
+    # one query, BOTH physical paths AND the transposition variant (r3/r4
+    # verdict: fit the registry to the driver's 50-query window): the
+    # blocked deletion-key join and the zero-shuffle broadcast-index join
+    # (per-worker SymSpell index in one mapInPandas stage) produce
+    # identical standard-distance result sets; the third tag runs the
+    # same blocked join under Damerau/OSA distance (reference
+    # transposition variant). Tagged by `path`.
     def _fuzzy_words_d2(s, d):
         from liblevenshtein_rust_spark.operators.fuzzy_join import (
             fuzzy_broadcast_join)
@@ -295,13 +298,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  n=2)
             .select(F.col("q_text").alias("query"), "term", "distance",
                     F.lit("broadcast").alias("path")))
-        return blocked.unionByName(bcast)
+        dam = (
+            fuzzy_join(_queries_df(s, QUERY_TERMS), _dict27_df(s), n=2,
+                       variant="transposition", method="deletion")
+            .select(F.col("q_text").alias("query"), "term", "distance",
+                    F.lit("damerau").alias("path")))
+        return blocked.unionByName(bcast).unionByName(dam)
     q["fuzzy_words_d2"] = _fuzzy_words_d2
-    q["fuzzy_words_damerau_d2"] = lambda s, d: (
-        fuzzy_join(_queries_df(s, QUERY_TERMS), _dict27_df(s), n=2,
-                   variant="transposition", method="deletion")
-        .select(F.col("q_text").alias("query"), "term", "distance")
-    )
     q["fuzzy_pairs_turns_d1"] = lambda s, d: _term_pairs(s, d, 1)
     q["fuzzy_pairs_turns_d2"] = lambda s, d: _term_pairs(s, d, 2)
     q["fuzzy_multimap"] = lambda s, d: _fuzzy_multimap(s, d)
@@ -817,6 +820,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            pred_col="entity_id")
     q["fs_linkage_f1"] = _fs_linkage_f1
 
+    # - fs_tf_adjusted: Splink-style term-frequency adjustment on the
+    #   city field — agreement on a RARE city value earns a larger
+    #   weight than agreement on a common one (u_v = within-agreement
+    #   share n_v^2/sum(n^2) replaces the field-average u). All inputs to
+    #   the log are exact-integer-valued doubles (counts + exactly-
+    #   rounded IEEE divisions), so both engines feed log2 the identical
+    #   double; the floored milli quantization is stable because no
+    #   adjustment value sits near an integer boundary (margin asserted
+    #   in tests/test_probabilistic.py).
+    def _fs_tf(s, d):
+        import liblevenshtein_rust_spark.operators.probabilistic as P
+        recs = _linkage_records(s, d)
+        specs = P.transcript_field_specs()
+        g = P.comparison_vectors(P.block_candidate_pairs(recs), specs)
+        adj = P.tf_adjusted_weights(g, recs, field="city",
+                                    gamma_col="g_city", specs=specs)
+        return adj.select(
+            F.col("rec_id_l").alias("id_a"),
+            F.col("rec_id_r").alias("id_b"),
+            "g_city", "weight_milli",
+            F.floor("tf_adj_milli").cast("long").alias("tf_adj"),
+            (F.col("weight_milli")
+             + F.floor("tf_adj_milli")).cast("long").alias("weight_tf"))
+    q["fs_tf_adjusted"] = _fs_tf
+
     # --- restricted zero-cost substitutions, both preset shapes in one
     # query (r3 verdict registry consolidation), tagged by `variant`:
     # - phonetic: the reference's phonetic_basic preset — NON-transitive
@@ -1218,19 +1246,17 @@ def oracle_sql() -> dict[str, str]:
         "AND (a.conv_id < b.conv_id OR (a.conv_id = b.conv_id AND a.turn_idx < b.turn_idx))"
     )
 
-    # both physical paths return the same rows; the twin enumerates the
-    # result set once per path tag
+    # both physical paths return the same standard-distance rows (the
+    # twin enumerates that result set once per path tag); the damerau tag
+    # re-enumerates under OSA distance
     o["fuzzy_words_d2"] = (
         f"WITH d(term) AS (VALUES {_SQL_DICT27}), q(query) AS (VALUES {_SQL_QUERY_TERMS}), "
         "m AS (SELECT query, term, CAST(levenshtein(query, term) AS INT) AS distance "
         "      FROM q, d WHERE levenshtein(query, term) <= 2) "
         "SELECT query, term, distance, 'blocked' AS path FROM m "
-        "UNION ALL SELECT query, term, distance, 'broadcast' AS path FROM m"
-    )
-
-    o["fuzzy_words_damerau_d2"] = (
-        f"WITH d(term) AS (VALUES {_SQL_DICT27}), q(query) AS (VALUES {_SQL_QUERY_TERMS}) "
-        "SELECT query, term, CAST(damerau_levenshtein(query, term) AS INT) AS distance "
+        "UNION ALL SELECT query, term, distance, 'broadcast' AS path FROM m "
+        "UNION ALL SELECT query, term, "
+        "CAST(damerau_levenshtein(query, term) AS INT), 'damerau' AS path "
         "FROM q, d WHERE damerau_levenshtein(query, term) <= 2"
     )
 
@@ -2066,6 +2092,37 @@ def oracle_sql() -> dict[str, str]:
         "AS is_match FROM gp"
     )
     o["fs_em_params"] = _fs_em_sql(20)
+    # TF adjustment twin: the frequency aggregate, u_v / u_field ratios,
+    # and floored milli log2 adjustment re-derived from the regenerated
+    # corpus. gpc re-derives gp carrying the left record's city value
+    # (for g_city = 0 pairs both sides agree, so either side works).
+    o["fs_tf_adjusted"] = (
+        f"WITH {_FS_LINKREC_CTE}, "
+        "gpc AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b, "
+        "  a.city AS city_l, "
+        "  CASE WHEN a.name = b.name THEN 0 "
+        "       WHEN levenshtein(a.name, b.name) <= 2 THEN 1 ELSE 2 END "
+        "    AS g_name, "
+        "  CASE WHEN a.city = b.city THEN 0 ELSE 1 END AS g_city, "
+        "  CASE WHEN a.phone = b.phone THEN 0 ELSE 1 END AS g_phone "
+        "  FROM recs a JOIN recs b "
+        "  ON a.block = b.block AND a.rec_id < b.rec_id), "
+        "freqs AS (SELECT city AS tf_value, "
+        "  CAST(count(*) AS DOUBLE) AS tf_n FROM recs GROUP BY city), "
+        "tot AS (SELECT sum(tf_n) AS tf_total, "
+        "  sum(tf_n * tf_n) AS tf_sq FROM freqs), "
+        "uv AS (SELECT tf_value, (tf_n * tf_n) / tf_sq AS u_v, "
+        "  tf_sq / (tf_total * tf_total) AS u_field FROM freqs, tot) "
+        "SELECT id_a, id_b, g_city, "
+        f"CAST({_FS_WEIGHT} AS BIGINT) AS weight_milli, "
+        "CAST(COALESCE(floor(1000 * log2(u_field / u_v)), 0) AS BIGINT) "
+        "  AS tf_adj, "
+        f"CAST({_FS_WEIGHT} + "
+        "COALESCE(floor(1000 * log2(u_field / u_v)), 0) AS BIGINT) "
+        "  AS weight_tf "
+        "FROM gpc LEFT JOIN uv "
+        "ON gpc.g_city = 0 AND gpc.city_l = uv.tf_value"
+    )
     o["fs_linkage_f1"] = (
         f"WITH RECURSIVE {_FS_LINKREC_CTE}, "
         f"me AS (SELECT id_a, id_b FROM gp WHERE {_FS_WEIGHT} >= 0), "

@@ -57,6 +57,12 @@ HEADLINE = [
     # the north-rule metric end-to-end: labeled corpus -> blocked d<=1
     # self-join -> CC -> distributed pairwise F1 (expect 1000 milli)
     "linkage_f1",
+    # Fellegi-Sunter candidate-pair scoring at fixed 100k-entity scale
+    # (900k blocked pairs; sf-independent like corpus_recall_124k):
+    # the BASELINE metric's "candidate-pairs-scored/sec" surface —
+    # gamma comparison vectors + integer match weights + classification,
+    # all codegen
+    "fs_score_900k",
 ]
 
 
@@ -150,10 +156,20 @@ def _bench_queries(em) -> dict:
                         "pos", "distance", F.lit("positions").alias("mode")))
         return best.unionByName(allp)
 
+    def fs_score_900k(spark, sf_dir):
+        import liblevenshtein_rust_spark.operators.probabilistic as P
+        from liblevenshtein_rust_spark.sources.corpus import (
+            synthetic_linkage_records)
+        recs = synthetic_linkage_records(spark, 100_000)
+        specs = P.transcript_field_specs()
+        g = P.comparison_vectors(P.block_candidate_pairs(recs), specs)
+        return P.score_pairs(g, specs)
+
     return {**em.queries(), "corpus_recall_124k": corpus_recall_124k,
             "minhash_near_dup": minhash_near_dup,
             "simhash_near_dup": simhash_near_dup,
-            "substring_shared_index": substring_shared_index}
+            "substring_shared_index": substring_shared_index,
+            "fs_score_900k": fs_score_900k}
 
 
 def run_default() -> None:

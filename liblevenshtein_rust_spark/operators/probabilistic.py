@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "FieldSpec", "block_candidate_pairs", "comparison_vectors",
     "pattern_counts", "em_fit", "fs_em_params", "match_weight_expr",
-    "score_pairs", "fs_link",
+    "score_pairs", "tf_adjusted_weights", "fs_link",
 ]
 
 EPS = 1e-6
@@ -266,6 +266,65 @@ def score_pairs(
             .withColumn("is_match",
                         (F.col("weight_milli") >= F.lit(threshold_milli))
                         .cast("long")))
+
+
+def tf_adjusted_weights(
+    gammas: DataFrame,
+    records: DataFrame,
+    *,
+    field: str = "city",
+    gamma_col: str = "g_city",
+    base_weights: dict[str, list[int]] | None = None,
+    specs: list[FieldSpec] | None = None,
+) -> DataFrame:
+    """Term-frequency adjustment for one exact-agreement field (the
+    Splink ``tf_adjustments`` idea): agreement on a RARE value is
+    stronger evidence than agreement on a common one, because the
+    u-probability of coincidental agreement on value v is
+    freq(v)^2 / sum_w freq(w)^2 — the within-agreement share of v —
+    not the field-average u the base weight assumes.
+
+    Adds ``tf_adj_milli`` (double): the per-pair correction
+    1000 * log2(u_field / u_v) applied ONLY on agreeing pairs
+    (gamma = 0); 0 elsewhere. ``weight_tf_milli`` = base integer weight
+    + correction.
+
+    Scale shape: one groupBy over the records' field values (bounded by
+    the value vocabulary) -> broadcast join against the pairs on the
+    shared agreeing value. No extra shuffle of the pair table.
+    """
+    from pyspark.sql.functions import broadcast
+
+    specs = specs or transcript_field_specs()
+    w = base_weights or DEFAULT_WEIGHTS
+    freqs = (records.groupBy(F.col(field).alias("tf_value"))
+             .agg(F.count(F.lit(1)).cast("double").alias("tf_n")))
+    # u_v = n_v^2 / sum(n^2); u_field = field-average agreement prob =
+    # sum(n^2) / N^2  (both from the same bounded aggregate)
+    tot = freqs.agg(
+        F.sum("tf_n").alias("tf_total"),
+        F.sum(F.col("tf_n") * F.col("tf_n")).alias("tf_sq"))
+    uv = (freqs.crossJoin(broadcast(tot))
+          .select("tf_value",
+                  ((F.col("tf_n") * F.col("tf_n")) / F.col("tf_sq"))
+                  .alias("u_v"),
+                  (F.col("tf_sq") / (F.col("tf_total") * F.col("tf_total")))
+                  .alias("u_field")))
+    scored = gammas if "weight_milli" in gammas.columns else score_pairs(
+        gammas, specs, weights=w)
+    joined = scored.join(
+        broadcast(uv),
+        (F.col(gamma_col) == 0) & (F.col(f"{field}_l") == F.col("tf_value")),
+        "left")
+    return (joined
+            .withColumn(
+                "tf_adj_milli",
+                F.when(F.col("u_v").isNotNull(),
+                       1000.0 * F.log2(F.col("u_field") / F.col("u_v")))
+                .otherwise(F.lit(0.0)))
+            .withColumn("weight_tf_milli",
+                        F.col("weight_milli") + F.col("tf_adj_milli"))
+            .drop("tf_value", "u_v", "u_field"))
 
 
 def fs_link(

@@ -159,3 +159,62 @@ def test_gamma_plan_stays_codegen(spark, records):
         P.block_candidate_pairs(records), specs)
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tf_adjustment_rare_values_score_higher(spark, records, gammas):
+    adj = P.tf_adjusted_weights(gammas, records, field="city",
+                                gamma_col="g_city")
+    rows = adj.where("g_city = 0").select(
+        "city_l", "tf_adj_milli", "weight_milli",
+        "weight_tf_milli").collect()
+    assert rows
+    # corrections only move agreeing pairs, and base + adj = total
+    for r in rows:
+        assert abs(r["weight_tf_milli"]
+                   - (r["weight_milli"] + r["tf_adj_milli"])) < 1e-6
+    # non-agreeing pairs are untouched
+    assert adj.where("g_city != 0 AND tf_adj_milli != 0.0").count() == 0
+    # a rarer city value must earn a strictly larger adjustment than a
+    # more common one
+    freqs = {r["city"]: r["n"] for r in
+             records.groupBy("city").agg(
+                 F.count(F.lit(1)).alias("n")).collect()}
+    by_city = {}
+    for r in rows:
+        by_city[r["city_l"]] = r["tf_adj_milli"]
+    cities = sorted(by_city, key=lambda c: freqs[c])
+    if len(cities) >= 2 and freqs[cities[0]] < freqs[cities[-1]]:
+        assert by_city[cities[0]] > by_city[cities[-1]]
+
+
+def test_tf_adjustment_floor_margins_are_cross_engine_stable(spark):
+    """The driver query floors 1000*log2(u_field/u_v) to integer milli.
+    Everything upstream of log2 is exact in IEEE doubles (integer counts,
+    exactly-rounded divisions), so Spark and DuckDB feed log2 the same
+    double — but their log2 implementations may differ by a few ulps
+    (~1e-12 relative). Assert every adjustment value on the driver's
+    corpus sits far (>1e-6) from an integer boundary, so no ulp
+    difference can flip the floor."""
+    import math
+    from liblevenshtein_rust_spark.sources.corpus import (
+        synthetic_linkage_records)
+    recs = synthetic_linkage_records(spark, 500)
+    freqs = {r["city"]: r["n"] for r in
+             recs.groupBy("city").agg(
+                 F.count(F.lit(1)).alias("n")).collect()}
+    tf_sq = float(sum(n * n for n in freqs.values()))
+    total = float(sum(freqs.values()))
+    u_field = tf_sq / (total * total)
+    for v, n in freqs.items():
+        u_v = (float(n) * float(n)) / tf_sq
+        val = 1000.0 * math.log2(u_field / u_v)
+        margin = abs(val - round(val))
+        assert margin > 1e-6, (v, val, margin)
+
+
+def test_tf_adjustment_plan_broadcasts_frequency_table(spark, records,
+                                                       gammas):
+    adj = P.tf_adjusted_weights(gammas, records, field="city",
+                                gamma_col="g_city")
+    plan = adj._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
