@@ -130,6 +130,27 @@ def main(argv: list[str] | None = None) -> int:
                          "resumable — rerun with the same run-id resumes)")
     dd.add_argument("--run-id", default="dedup0")
 
+    # probabilistic (Fellegi-Sunter) record linkage as an ops command:
+    # multi-field records -> blocked pairs -> gamma vectors -> match
+    # weights (clerical defaults, or unsupervised EM with --em) ->
+    # threshold -> connected components -> (rec_id, entity_id) parquet.
+    # If the input carries a labeled `entity` column, the command also
+    # prints the pairwise P/R/F1 of its own output against it.
+    fl = sub.add_parser("fs-link",
+                        help="probabilistic (Fellegi-Sunter) linkage")
+    fl.add_argument("--input", required=True,
+                    help="records parquet (rec_id, block, name, city, "
+                         "phone[, entity])")
+    fl.add_argument("--output", required=True,
+                    help="output parquet: (rec_id, entity_id)")
+    fl.add_argument("--threshold-milli", type=int, default=0,
+                    help="match if weight_milli >= this")
+    fl.add_argument("--em", action="store_true",
+                    help="estimate match weights by EM over the gamma "
+                         "pattern counts (unsupervised) instead of the "
+                         "clerical defaults")
+    fl.add_argument("--em-iters", type=int, default=20)
+
     rp = sub.add_parser("repl", help="interactive query/insert/delete loop")
     rp.add_argument("--dict", required=True)
     rp.add_argument("--max-distance", type=int, default=2)
@@ -323,6 +344,28 @@ def main(argv: list[str] | None = None) -> int:
                           "survivors": n_surv,
                           "removed": n_docs - n_surv,
                           "output": args.output}))
+        return 0
+
+    if args.cmd == "fs-link":
+        from liblevenshtein_rust_spark.operators.probabilistic import (
+            fs_link)
+        recs = spark.read.parquet(args.input)
+        clusters = fs_link(recs, threshold_milli=args.threshold_milli,
+                           em=args.em, em_iters=args.em_iters)
+        clusters.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        summary = {"records": recs.count(),
+                   "clusters": out.select("entity_id").distinct().count(),
+                   "weights": "em" if args.em else "clerical",
+                   "output": args.output}
+        if "entity" in recs.columns:
+            from liblevenshtein_rust_spark.operators.linkage_eval import (
+                pairwise_f1)
+            labeled = recs.select("rec_id", "entity").join(out, "rec_id")
+            summary["eval"] = pairwise_f1(
+                labeled, truth_col="entity",
+                pred_col="entity_id").collect()[0].asDict()
+        print(json.dumps(summary))
         return 0
 
     if args.cmd == "repl":

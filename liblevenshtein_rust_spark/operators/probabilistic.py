@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "FieldSpec", "block_candidate_pairs", "comparison_vectors",
     "pattern_counts", "em_fit", "fs_em_params", "match_weight_expr",
-    "score_pairs", "tf_adjusted_weights", "fs_link",
+    "em_weights_milli", "score_pairs", "tf_adjusted_weights", "fs_link",
 ]
 
 EPS = 1e-6
@@ -225,11 +225,15 @@ def fs_em_params(
 
 
 def match_weight_expr(specs: list[FieldSpec],
-                      weights: dict[str, list[int]]) -> str:
-    """Integer milli match-weight SQL expression: 1000 * sum over fields
-    of the per-level log2(m/u) weight. Callers pick m/u with
-    power-of-two ratios so the log-weights are exact integers and the
-    whole score is integer arithmetic (hash-stable in any engine)."""
+                      weights: dict[str, list[int]],
+                      *, scale: int = 1000) -> str:
+    """Integer milli match-weight SQL expression: ``scale`` * sum over
+    fields of the per-level weight. With the clerical defaults the
+    weights are whole log2(m/u) units (callers pick m/u with
+    power-of-two ratios) and scale=1000 lifts them to milli; EM-derived
+    weights arrive already in milli (``em_weights_milli``) and use
+    scale=1. Either way the whole score is integer arithmetic
+    (hash-stable in any engine)."""
     terms = []
     for s in specs:
         cases = " ".join(
@@ -237,7 +241,23 @@ def match_weight_expr(specs: list[FieldSpec],
             for lvl in range(s.levels - 1))
         terms.append(f"(CASE {s.gamma} {cases} "
                      f"ELSE {weights[s.gamma][s.levels - 1]} END)")
-    return "cast(1000 * (" + " + ".join(terms) + ") as long)"
+    return f"cast({scale} * (" + " + ".join(terms) + ") as long)"
+
+
+def em_weights_milli(m: dict, u: dict,
+                     specs: list[FieldSpec]) -> dict[str, list[int]]:
+    """Integer-milli log2(m/u) match weights from EM-estimated
+    parameters (the unsupervised replacement for clerical weights):
+    w_field[level] = round(1000 * log2(m_level / u_level)). Parameters
+    come pre-clamped to [1e-6, 1-1e-6] by em_fit, so the log is always
+    finite; bounds are ±~19931 milli."""
+    return {
+        s.gamma: [
+            int(math.floor(
+                1000.0 * math.log2(m[s.gamma][lvl] / u[s.gamma][lvl])
+                + 0.5))
+            for lvl in range(s.levels)]
+        for s in specs}
 
 
 # Clerical weights for transcript_field_specs: log2(m/u) per level with
@@ -258,11 +278,15 @@ def score_pairs(
     *,
     weights: dict[str, list[int]] | None = None,
     threshold_milli: int = 0,
+    scale: int = 1000,
 ) -> DataFrame:
-    """Attach weight_milli (long) and is_match (long 0/1)."""
+    """Attach weight_milli (long) and is_match (long 0/1). ``scale``
+    follows match_weight_expr: 1000 for whole-log2 clerical weights,
+    1 for already-milli EM weights."""
     w = DEFAULT_WEIGHTS if weights is None else weights
     return (gammas
-            .withColumn("weight_milli", F.expr(match_weight_expr(specs, w)))
+            .withColumn("weight_milli",
+                        F.expr(match_weight_expr(specs, w, scale=scale)))
             .withColumn("is_match",
                         (F.col("weight_milli") >= F.lit(threshold_milli))
                         .cast("long")))
@@ -333,17 +357,34 @@ def fs_link(
     specs: list[FieldSpec] | None = None,
     weights: dict[str, list[int]] | None = None,
     threshold_milli: int = 0,
+    em: bool = False,
+    em_iters: int = 20,
 ) -> DataFrame:
     """End-to-end FS linkage over (rec_id, block, name, city, phone[,
     entity]) records: blocked pairs -> gammas -> weights -> threshold ->
     connected components. Returns (rec_id, entity_id) for every record
-    (unmatched records label themselves)."""
+    (unmatched records label themselves).
+
+    ``em=True`` replaces the clerical ``weights`` with unsupervised
+    EM-estimated milli weights (pattern_counts -> em_fit ->
+    em_weights_milli): one extra bounded aggregation pass over the
+    gamma table, O(#patterns * em_iters) driver work — the full
+    Fellegi-Sunter loop with no labeled data."""
     from liblevenshtein_rust_spark.operators.cluster import (
         connected_components)
     specs = specs or transcript_field_specs()
     pairs = block_candidate_pairs(records)
-    scored = score_pairs(comparison_vectors(pairs, specs), specs,
-                         weights=weights, threshold_milli=threshold_milli)
+    gv = comparison_vectors(pairs, specs)
+    scale = 1000
+    if em:
+        pat = pattern_counts(gv, specs).collect()
+        rows = [(tuple(r[s.gamma] for s in specs), float(r["c"]))
+                for r in pat]
+        _lam, m, u = em_fit(rows, specs, n_iter=em_iters)
+        weights = em_weights_milli(m, u, specs)
+        scale = 1
+    scored = score_pairs(gv, specs, weights=weights,
+                         threshold_milli=threshold_milli, scale=scale)
     edges = scored.where("is_match = 1").select(
         F.col("rec_id_l").alias("id_a"), F.col("rec_id_r").alias("id_b"))
     nodes = records.select(F.col("rec_id").alias("term_id"))

@@ -268,3 +268,27 @@ def test_cli_dedup_checkpointed_resume(spark, tmp_path, capsys):
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["stages"]["dedup_pairs"]["resumed"] \
         and info["stages"]["dedup_survivors"]["resumed"]
+
+
+def test_cli_fs_link_clerical_and_em(spark, tmp_path, capsys):
+    """fs-link writes (rec_id, entity_id) and self-evaluates against the
+    labeled entity column; both weightings reach f1_milli=1000 on the
+    synthetic linkage corpus."""
+    import json as _json
+    from liblevenshtein_rust_spark.cli import main
+    from liblevenshtein_rust_spark.sources.corpus import (
+        synthetic_linkage_records)
+
+    inp = str(tmp_path / "recs")
+    synthetic_linkage_records(spark, 300).write.parquet(inp)
+    for extra, wname in (([], "clerical"), (["--em"], "em")):
+        out = str(tmp_path / f"clusters_{wname}")
+        rc = main(["fs-link", "--input", inp, "--output", out] + extra)
+        assert rc == 0
+        info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert info["weights"] == wname
+        assert info["records"] == 600 and info["clusters"] == 300
+        assert info["eval"]["f1_milli"] == 1000
+        got = spark.read.parquet(out)
+        assert got.columns == ["rec_id", "entity_id"]
+        assert got.count() == 600

@@ -218,3 +218,30 @@ def test_tf_adjustment_plan_broadcasts_frequency_table(spark, records,
                                 gamma_col="g_city")
     plan = adj._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_em_weights_milli_signs_and_magnitudes():
+    """EM weights in milli: agreement levels (high m, low u) positive,
+    disagreement negative; a 2:1 m/u ratio lands at exactly 1000."""
+    specs = [P.FieldSpec("g_x", 2, "CASE WHEN 1=1 THEN 0 ELSE 1 END")]
+    w = P.em_weights_milli({"g_x": [0.8, 0.2]}, {"g_x": [0.4, 0.6]},
+                           specs)
+    assert w["g_x"][0] == 1000        # log2(0.8/0.4) = 1 exactly
+    assert w["g_x"][1] < 0            # log2(0.2/0.6) < 0
+
+
+def test_fs_link_em_weights_reach_perfect_f1(spark, records):
+    """Unsupervised end-to-end: EM-estimated milli weights at threshold 0
+    must reproduce the planted entities exactly, like the clerical
+    weights do — the corpus separates by design and EM recovers
+    parameters near the planted ones (test_em_recovers_planted_params),
+    so both weightings agree on every candidate pair."""
+    from liblevenshtein_rust_spark.operators.linkage_eval import pairwise_f1
+    pred = P.fs_link(records, em=True)
+    labeled = records.select("rec_id", "entity").join(pred, "rec_id")
+    row = pairwise_f1(labeled, truth_col="entity",
+                      pred_col="entity_id").collect()[0]
+    assert row["f1_milli"] == 1000
+    clerical = P.fs_link(records)
+    assert (sorted(map(tuple, pred.collect()))
+            == sorted(map(tuple, clerical.collect())))
