@@ -143,7 +143,12 @@ def _bench_queries(em) -> dict:
              for _, ln in _segments(len(t), 1, "standard")
              if len(t) >= _n_segments(1, "standard")}
             | {len(t) for t in pos_q})
-        idx = build_substring_index(docs, lens).persist()
+        # num_partitions: a persisted index MUST be spread before caching
+        # — the scan-inherited layout is one slim partition per union
+        # branch per file split (5 total here), and every consumer join
+        # then runs 5-wide on 32 cores; profiled 3x slower + GC-noisy
+        # (the r4 substring_shared_index anomaly: draws 9.4-34.8s)
+        idx = build_substring_index(docs, lens, num_partitions=64).persist()
         qdf_f = em2._queries_df(spark, fuzzy_q)
         qdf_p = em2._queries_df(spark, pos_q)
         best = (fuzzy_substring_join(qdf_f, docs, n=1, doc_index=idx,

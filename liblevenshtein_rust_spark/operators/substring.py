@@ -82,7 +82,8 @@ def _segments(m: int, n: int, variant: str = STANDARD) -> list[tuple[int, int]]:
 
 def build_substring_index(docs: DataFrame, seg_lens: list[int], *,
                           d_id: str = "doc_id",
-                          d_text: str = "text") -> DataFrame:
+                          d_text: str = "text",
+                          num_partitions: int | None = None) -> DataFrame:
     """Doc-side substring inverted index at the given segment lengths:
     one row (_did, _p, _len, _bkey) per substring occurrence — the
     distributed analog of SuffixAutomaton construction
@@ -93,7 +94,17 @@ def build_substring_index(docs: DataFrame, seg_lens: list[int], *,
 
     The index is reusable across queries whose segment-length sets are
     covered (pass it to ``fuzzy_substring_join(doc_index=...)``) and
-    maintainable online via ``incremental_substring_index``."""
+    maintainable online via ``incremental_substring_index``.
+
+    ``num_partitions`` hash-repartitions the index on ``_bkey`` — set it
+    (e.g. to spark.sql.shuffle.partitions) whenever the index will be
+    PERSISTED for reuse. Without it the cached layout inherits the scan's
+    partitioning (one slim partition per union branch per input split —
+    a handful of mega-partitions on a single-file corpus), and every
+    downstream broadcast-probe join runs at that parallelism: profiled
+    3x slower with 5 cached partitions on 32 cores. The inline
+    (non-persisted) path should leave this None — the explode fuses into
+    the consuming join's stage and an extra shuffle is pure cost."""
     lens = sorted({int(x) for x in seg_lens})
     if not lens:
         raise ValueError("seg_lens must be non-empty")
@@ -110,6 +121,8 @@ def build_substring_index(docs: DataFrame, seg_lens: list[int], *,
                     F.xxhash64(F.expr(f"substring(_t, _p, {L})")).alias("_bkey"))
         )
         dk = branch if dk is None else dk.unionByName(branch)
+    if num_partitions:
+        dk = dk.repartition(num_partitions, "_bkey")
     return dk
 
 
