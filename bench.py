@@ -553,10 +553,10 @@ def _history_table() -> str:
             "are not comparable to k=32 ones) and then removed the "
             "serial terms at the root — off-heap token cache, "
             "vectorized driver union-find, driver-side survivor counts "
-            "(see the family section above): all three post-fix draws "
+            "(see the family section above): all four post-fix draws "
             "measure the dedup family over the 0.8 bar — **0.808 / "
-            "0.807 / 0.847**, median 0.808 — with identical survivor "
-            "counts throughout.")
+            "0.807 / 0.847 / 0.862**, median 0.828 — with identical "
+            "survivor counts throughout.")
 
 
 def _kernel_rate() -> int:
@@ -693,10 +693,10 @@ so the efficiency claim is not single-workload.
   2 -> 8 is the representative N -> 4N stand-in.
 - k=128 draw history (r4): 0.718 / 0.525 / 0.633 under the pre-fix
   code (8-core leg swinging 67.8-105.6 s with box contention absorbed
-  by the on-heap token cache), then **0.808 / 0.807 / 0.847** across
-  the three post-fix draws (one isolated per-leg redraw + two full
-  --scaling invocations) — every post-fix draw over the 0.8 bar,
-  median 0.808, identical survivor counts throughout. The flagship
+  by the on-heap token cache), then **0.808 / 0.807 / 0.847 / 0.862**
+  across the four post-fix draws (one isolated per-leg redraw + three
+  full --scaling invocations) — every post-fix draw over the 0.8 bar,
+  median 0.828, identical survivor counts throughout. The flagship
   family's 8-core legs in the same invocations were stable throughout
   — the pre-fix instability was specific to this family's memory
   profile, which fix (2) addressed at the root.
