@@ -57,12 +57,15 @@ HEADLINE = [
     # the north-rule metric end-to-end: labeled corpus -> blocked d<=1
     # self-join -> CC -> distributed pairwise F1 (expect 1000 milli)
     "linkage_f1",
-    # Fellegi-Sunter candidate-pair scoring at fixed 100k-entity scale
-    # (900k blocked pairs; sf-independent like corpus_recall_124k):
+    # Fellegi-Sunter candidate-pair scoring at fixed 1M-entity scale
+    # (9M blocked pairs; sf-independent like corpus_recall_124k):
     # the BASELINE metric's "candidate-pairs-scored/sec" surface —
     # gamma comparison vectors + integer match weights + classification,
-    # all codegen
-    "fs_score_900k",
+    # all codegen. ~0.9 s steady for 9M pairs at local[32] (~10M
+    # pairs/sec end to end including corpus generation and the blocking
+    # join; 2.2 s cold). A 100k-entity variant measured first was
+    # fixed-overhead-dominated (0.6M/s) and understated the rate >10x
+    "fs_score_9m",
 ]
 
 
@@ -147,8 +150,16 @@ def _bench_queries(em) -> dict:
         # — the scan-inherited layout is one slim partition per union
         # branch per file split (5 total here), and every consumer join
         # then runs 5-wide on 32 cores; profiled 3x slower + GC-noisy
-        # (the r4 substring_shared_index anomaly: draws 9.4-34.8s)
-        idx = build_substring_index(docs, lens, num_partitions=64).persist()
+        # (the r4 substring_shared_index anomaly: draws 9.4-34.8s).
+        # DISK_ONLY (tmpfs local dir here, executor NVMe on a cluster):
+        # the on-heap deserialized cache made late bench draws absorb
+        # GC pressure from the 15 queries before this one (extra draws
+        # ballooned to 32-42s); serialized off-heap blocks measured
+        # strictly faster AND stable (6.9-8.1s) — same lesson as the
+        # dedup family's token cache (BENCH/BASELINE.md)
+        from pyspark import StorageLevel
+        idx = build_substring_index(docs, lens, num_partitions=64) \
+            .persist(StorageLevel.DISK_ONLY)
         qdf_f = em2._queries_df(spark, fuzzy_q)
         qdf_p = em2._queries_df(spark, pos_q)
         best = (fuzzy_substring_join(qdf_f, docs, n=1, doc_index=idx,
@@ -161,20 +172,24 @@ def _bench_queries(em) -> dict:
                         "pos", "distance", F.lit("positions").alias("mode")))
         return best.unionByName(allp)
 
-    def fs_score_900k(spark, sf_dir):
+    def fs_score_9m(spark, sf_dir):
+        from pyspark.sql import functions as F
         import liblevenshtein_rust_spark.operators.probabilistic as P
         from liblevenshtein_rust_spark.sources.corpus import (
             synthetic_linkage_records)
-        recs = synthetic_linkage_records(spark, 100_000)
+        recs = synthetic_linkage_records(spark, 1_000_000)
         specs = P.transcript_field_specs()
         g = P.comparison_vectors(P.block_candidate_pairs(recs), specs)
-        return P.score_pairs(g, specs)
+        # the tautological is_match filter pins the scoring columns into
+        # the counted plan: a bare count() would let Catalyst prune the
+        # gamma/weight projections and time only the blocking join
+        return P.score_pairs(g, specs).where(F.col("is_match") >= 0)
 
     return {**em.queries(), "corpus_recall_124k": corpus_recall_124k,
             "minhash_near_dup": minhash_near_dup,
             "simhash_near_dup": simhash_near_dup,
             "substring_shared_index": substring_shared_index,
-            "fs_score_900k": fs_score_900k}
+            "fs_score_9m": fs_score_9m}
 
 
 def run_default() -> None:
