@@ -188,13 +188,20 @@ def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     word are ever materialized (the set-similarity-join standard trick),
     so disjoint documents cost nothing.
 
-    ``persist`` caches the exploded token table: the plan reads it five
+    ``persist`` caches the exploded token table — the plan reads it five
     times (sizes, rarity ranks, both prefix sides, exact verify) and
     each read would otherwise re-run the scan + canonicalize + explode
-    lineage. The cached table lives until ``unpersist_inputs(result)``
-    (or ``spark.catalog.clearCache()``) — callers that invoke this
-    repeatedly in one JVM (benchmark loops) must release it after
-    materializing, or cached copies accumulate for the JVM's lifetime.
+    lineage — AND the tiny prefix-token table: the whole
+    toks->wfreq-join->window->filter subtree feeds BOTH sides of the
+    candidate self-join, and Spark plans identical subtrees twice (no
+    cross-join common-subexpression reuse), so without the cache the
+    most expensive stage chain in the job runs twice per invocation
+    (profiled 8-9.6 s -> ~4 s steady at sf0.1). The prefix table is
+    bounded at ~(1-t) of the token table (1/10th at t=0.9). Caches live
+    until ``unpersist_inputs(result)`` (or ``spark.catalog.clearCache()``)
+    — callers that invoke this repeatedly in one JVM (benchmark loops)
+    must release them after materializing, or cached copies accumulate
+    for the JVM's lifetime.
 
     ``persist_level`` names any ``pyspark.StorageLevel``; the
     MEMORY_AND_DISK default keeps hot blocks on-heap, while DISK_ONLY
@@ -230,6 +237,9 @@ def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     prefix = ranked.where(
         F.col("_rn") <= F.floor((1000 - mr) * F.col("_sz") / 1000) + 1
     ).select("_id", "_g", "_w", "_rn", "_sz")
+    if persist:
+        from pyspark import StorageLevel
+        prefix = prefix.persist(getattr(StorageLevel, persist_level))
     pa = prefix.select(F.col("_id").alias("id_a"), "_g", "_w",
                        F.col("_rn").alias("_ra"), F.col("_sz").alias("_sa"))
     pb = prefix.select(F.col("_id").alias("id_b"), "_g", "_w",
@@ -270,7 +280,7 @@ def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         .where(F.col("n_common") * 1000 >= min_ratio_milli * F.col("n_union"))
     )
     if persist:
-        out._lls_persisted_inputs = [toks]
+        out._lls_persisted_inputs = [toks, prefix]
     return out
 
 
