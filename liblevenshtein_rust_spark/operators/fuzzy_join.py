@@ -265,14 +265,27 @@ def fuzzy_self_join(
     Output: id_a, term_a, id_b, term_b, distance. ``salt_threshold``
     routes blocking keys with more members than the threshold through the
     deterministic triangular salting path (operators/skew.py) instead of
-    a single reducer key. ``persist`` caches the terms input, which this
-    operator reads four times (two key sides + two text attaches).
+    a single reducer key.
+
+    ``persist`` caches the terms input AND the exploded key table: the
+    plan reads terms four times (two key sides + two text attaches) and
+    the key-generation subtree twice — Spark plans identical subtrees
+    independently (no cross-join common-subexpression reuse, and the
+    per-side column aliases defeat ReusedExchange), so without the cache
+    any upstream lineage (e.g. a build_dictionary aggregation) re-runs
+    per read. Release via ``operators.dedup.unpersist_inputs(result)``
+    after materializing.
     """
+    persisted = []
     if persist:
         terms = terms.persist()
+        persisted.append(terms)
     method = _resolve_method(method)
     keys = _keys_for(terms, id_col, text_col, n, variant, method, role="both",
                      subst=substitutions)
+    if persist:
+        keys = keys.persist()
+        persisted.append(keys)
     if salt_threshold is not None:
         from liblevenshtein_rust_spark.operators.skew import salted_self_candidates
         pairs = salted_self_candidates(keys, hot_threshold=salt_threshold,
@@ -281,11 +294,14 @@ def fuzzy_self_join(
         pairs = _candidates_from_keys(keys, keys, self_join=True)
     scored = _score_pairs(pairs, terms, terms, id_col, text_col, id_col, text_col,
                           n, variant, subst=substitutions)
-    return scored.select(
+    out = scored.select(
         F.col("_ida").alias("id_a"), F.col("_ta").alias("term_a"),
         F.col("_idb").alias("id_b"), F.col("_tb").alias("term_b"),
         "distance",
     )
+    if persisted:
+        out._lls_persisted_inputs = persisted
+    return out
 
 
 def fuzzy_prefix_join(
