@@ -123,6 +123,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="SimHash bit distance (simhash)")
     dd.add_argument("--group-col", default=None,
                     help="only pair docs sharing this column (e.g. lang)")
+    dd.add_argument("--hash-tokens", action="store_true",
+                    help="jaccard only: carry 8-byte hashed tokens in "
+                         "every shuffle/cache instead of words (the "
+                         "100-TB production path; exact w.h.p.)")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--checkpoint-dir", default=None,
@@ -300,7 +304,8 @@ def main(argv: list[str] | None = None) -> int:
                 checkpoint_dir=args.checkpoint_dir, run_id=args.run_id,
                 method=args.method, threshold_milli=args.threshold_milli,
                 max_hamming=args.max_hamming, group_col=args.group_col,
-                id_col=args.id_col, text_col=args.text_col)
+                id_col=args.id_col, text_col=args.text_col,
+                hash_tokens=args.hash_tokens)
             res = run_dedup_pipeline(spark, docs, cfg)
             res["survivors"].write.mode("overwrite").parquet(args.output)
             n_surv = spark.read.parquet(args.output).count()
@@ -326,7 +331,8 @@ def main(argv: list[str] | None = None) -> int:
                 pairs = token_jaccard_pairs(
                     docs, id_col=args.id_col, text_col=args.text_col,
                     group_col=args.group_col,
-                    min_ratio_milli=args.threshold_milli, persist=True)
+                    min_ratio_milli=args.threshold_milli, persist=True,
+                    hash_tokens=args.hash_tokens)
             elif args.method == "minhash":
                 pairs = minhash_lsh_pairs(
                     docs, id_col=args.id_col, text_col=args.text_col,

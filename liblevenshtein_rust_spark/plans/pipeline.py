@@ -84,6 +84,8 @@ class DedupConfig:
     text_col: str = "text"
     table_format: str = "parquet"
     bucket_by: int | None = None
+    #: jaccard only: hashed 8-byte tokens in every shuffle (exact w.h.p.)
+    hash_tokens: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -270,7 +272,8 @@ def run_dedup_pipeline(spark: SparkSession, docs: DataFrame,
             return token_jaccard_pairs(
                 docs, id_col=cfg.id_col, text_col=cfg.text_col,
                 group_col=cfg.group_col,
-                min_ratio_milli=cfg.threshold_milli)
+                min_ratio_milli=cfg.threshold_milli,
+                hash_tokens=cfg.hash_tokens)
         if cfg.method == "minhash":
             return minhash_lsh_pairs(
                 docs, id_col=cfg.id_col, text_col=cfg.text_col,

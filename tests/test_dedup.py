@@ -152,3 +152,19 @@ def test_jaccard_persist_levels_identical(spark, docs):
         assert cached.storageLevel.useDisk
         assert cached.storageLevel.useMemory == (level == "MEMORY_AND_DISK")
         unpersist_inputs(out)
+
+
+def test_jaccard_hash_tokens_parity(spark, docs):
+    """hash_tokens=True (the production 100-TB path: 8-byte hashed
+    tokens in every shuffle/cache) must produce the identical pair set,
+    counts included — collisions are the only divergence mode and are
+    probabilistically absent at test vocabulary sizes."""
+    from liblevenshtein_rust_spark.operators.dedup import (
+        token_jaccard_pairs, unpersist_inputs)
+    base = {(r.id_a, r.id_b, r.n_common, r.n_union)
+            for r in token_jaccard_pairs(docs, min_ratio_milli=700).collect()}
+    out = token_jaccard_pairs(docs, min_ratio_milli=700, persist=True,
+                              hash_tokens=True)
+    got = {(r.id_a, r.id_b, r.n_common, r.n_union) for r in out.collect()}
+    unpersist_inputs(out)
+    assert got == base
