@@ -340,10 +340,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- set ops / clustering ---
     q["term_clusters_d1"] = lambda s, d: _term_clusters(s, d)
-    q["cluster_sizes_d1"] = lambda s, d: (
-        _term_clusters(s, d).groupBy("entity_id")
-        .agg(F.count(F.lit(1)).alias("n_terms"))
-    )
+
+    # cluster sizes + the r4 cohesion audit (operators/cluster.
+    # cluster_cohesion): match-graph density and weakest supporting edge
+    # per entity — the over-merge diagnostic transitive closure needs at
+    # deployment scale. Subsumes the former sizes-only output.
+    def _cluster_sizes(s, d):
+        from liblevenshtein_rust_spark.operators.cluster import (
+            cluster_cohesion)
+        return (
+            cluster_cohesion(_term_clusters(s, d), _term_pairs(s, d, 1),
+                             weight_col="distance")
+            .select("entity_id",
+                    F.col("n_nodes").alias("n_terms"),
+                    "n_edges", "density_milli",
+                    F.col("max_weight").cast("int").alias("max_distance"),
+                    "sparse_flag")
+        )
+    q["cluster_sizes_d1"] = _cluster_sizes
     q["turn_entities_d1"] = lambda s, d: (
         _canon_turns(s, d)
         .join(_term_clusters(s, d), F.col("canon_text") == F.col("term"))
@@ -1328,9 +1342,31 @@ def oracle_sql() -> dict[str, str]:
         f"WITH RECURSIVE {_TRANSCRIPTS_CTE.strip()}, {_TERMS_CTE}, {_CLUSTERS_CTE.strip()} "
         "SELECT term, entity_id FROM clusters"
     )
+    # sizes + cohesion audit: density = 2 * intra-cluster matched pairs
+    # over n(n-1); weakest edge = max levenshtein among supporting pairs
     o["cluster_sizes_d1"] = (
-        f"WITH RECURSIVE {_TRANSCRIPTS_CTE.strip()}, {_TERMS_CTE}, {_CLUSTERS_CTE.strip()} "
-        "SELECT entity_id, count(*) AS n_terms FROM clusters GROUP BY entity_id"
+        f"WITH RECURSIVE {_TRANSCRIPTS_CTE.strip()}, {_TERMS_CTE}, {_CLUSTERS_CTE.strip()}, "
+        "sizes AS (SELECT entity_id, CAST(count(*) AS INT) AS n_terms "
+        "          FROM clusters GROUP BY entity_id), "
+        "ee AS (SELECT ca.entity_id AS e, levenshtein(f.ta, f.tb) AS d "
+        "       FROM fuzzy f JOIN clusters ca ON f.ta = ca.term "
+        "                    JOIN clusters cb ON f.tb = cb.term "
+        "       WHERE ca.entity_id = cb.entity_id), "
+        "es AS (SELECT e, CAST(count(*) AS INT) AS n_edges, "
+        "              CAST(max(d) AS INT) AS max_distance FROM ee GROUP BY e) "
+        "SELECT s.entity_id, s.n_terms, "
+        "       CAST(coalesce(es.n_edges, 0) AS INT) AS n_edges, "
+        "       CAST(CASE WHEN s.n_terms <= 1 THEN 1000 "
+        "            ELSE floor(2000.0 * coalesce(es.n_edges, 0) "
+        "                       / (s.n_terms * (s.n_terms - 1))) END AS INT) "
+        "         AS density_milli, "
+        "       es.max_distance AS max_distance, "
+        "       CAST(CASE WHEN s.n_terms >= 3 AND "
+        "            CAST(CASE WHEN s.n_terms <= 1 THEN 1000 "
+        "                 ELSE floor(2000.0 * coalesce(es.n_edges, 0) "
+        "                            / (s.n_terms * (s.n_terms - 1))) END AS INT) "
+        "            < 500 THEN 1 ELSE 0 END AS INT) AS sparse_flag "
+        "FROM sizes s LEFT JOIN es ON s.entity_id = es.e"
     )
     o["turn_entities_d1"] = (
         f"WITH RECURSIVE {_TRANSCRIPTS_CTE.strip()}, {_TERMS_CTE}, {_CLUSTERS_CTE.strip()} "

@@ -357,3 +357,88 @@ def incremental_components(
         return sub_assign
     untouched = old_clusters.join(touched, "entity_id", "left_anti")
     return untouched.select(node_col, "entity_id").unionByName(sub_assign)
+
+
+def cluster_cohesion(
+    clusters: DataFrame,
+    pairs: DataFrame,
+    *,
+    node_col: str = "term",
+    entity_col: str = "entity_id",
+    src: str = "term_a",
+    dst: str = "term_b",
+    weight_col: str | None = None,
+    sparse_density_milli: int = 500,
+) -> DataFrame:
+    """Per-cluster cohesion audit: the over-merge diagnostic for
+    transitive-closure entity resolution.
+
+    Transitive closure's classic failure mode at scale is the CHAIN
+    over-merge: a-b, b-c, c-d each within threshold pulls a and d into
+    one entity even when d(a, d) is far beyond it. The reference's
+    single-node transducer never faces this (it answers per-query
+    neighborhoods, /root/reference/src/transducer/query.rs), but a
+    clustering deployment must audit it. This operator grades every
+    cluster by its MATCH-GRAPH shape using only the already-materialized
+    pairs — no new pairwise work, so it costs two hash joins + two
+    aggregations regardless of cluster diameter:
+
+      n_nodes        cluster size
+      n_edges        matched pairs whose BOTH endpoints landed in the
+                     cluster (one row per unordered pair in ``pairs``)
+      density_milli  floor(2000 * n_edges / (n_nodes * (n_nodes - 1)));
+                     1000 for singletons. A clique — every member pair
+                     within threshold — scores 1000; a pure chain decays
+                     toward 0 as it grows.
+      max_weight     weakest supporting edge (max of ``weight_col``,
+                     e.g. distance), null for singletons; omitted when
+                     ``weight_col`` is None.
+      sparse_flag    1 when n_nodes >= 3 and density_milli <
+                     ``sparse_density_milli`` — the review queue for a
+                     human / second-pass scorer.
+
+    Scale shape: ``pairs`` joins the (node -> entity) map once per
+    endpoint — the same key distribution as the CC iterations that
+    produced ``clusters`` — then everything is a groupBy(entity). Both
+    joins are runtime-bloom/broadcast eligible; nothing is quadratic in
+    cluster size. ``pairs`` must carry one row per unordered matched
+    pair (the contract of fuzzy_self_join / token_jaccard_pairs); rows
+    are normalized here so either endpoint order is accepted.
+    """
+    cl = clusters.select(F.col(node_col).alias("_n"),
+                         F.col(entity_col).alias("_e"))
+    w = [F.col(weight_col).alias("_w")] if weight_col else []
+    e = pairs.select(F.least(src, dst).alias("_u"),
+                     F.greatest(src, dst).alias("_v"), *w)
+    edge_ent = (
+        e.join(cl.select(F.col("_n").alias("_u"), F.col("_e").alias("_ea")), "_u")
+        .join(cl.select(F.col("_n").alias("_v"), F.col("_e").alias("_eb")), "_v")
+        # cross-cluster rows only arise when callers pass a filtered or
+        # foreign clustering; same-entity is a no-op filter after CC
+        .where(F.col("_ea") == F.col("_eb"))
+    )
+    agg = [F.count(F.lit(1)).cast("int").alias("n_edges")]
+    if weight_col:
+        agg.append(F.max("_w").alias("max_weight"))
+    stats = edge_ent.groupBy(F.col("_ea").alias(entity_col)).agg(*agg)
+    sizes = cl.groupBy(F.col("_e").alias(entity_col)).agg(
+        F.count(F.lit(1)).cast("int").alias("n_nodes"))
+    out = (
+        sizes.join(stats, entity_col, "left")
+        .withColumn("n_edges", F.coalesce("n_edges", F.lit(0)).cast("int"))
+        .withColumn(
+            "density_milli",
+            F.when(F.col("n_nodes") <= 1, F.lit(1000)).otherwise(
+                F.floor(2000 * F.col("n_edges")
+                        / (F.col("n_nodes") * (F.col("n_nodes") - 1)))
+            ).cast("int"))
+        .withColumn(
+            "sparse_flag",
+            ((F.col("n_nodes") >= 3)
+             & (F.col("density_milli") < sparse_density_milli))
+            .cast("int"))
+    )
+    cols = [entity_col, "n_nodes", "n_edges", "density_milli"]
+    if weight_col:
+        cols.append("max_weight")
+    return out.select(*cols, "sparse_flag")

@@ -257,3 +257,85 @@ def test_uf_label_pandas_property_vs_dict_oracle():
         assert got == exp
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# cluster_cohesion (over-merge audit)
+# ---------------------------------------------------------------------------
+
+def _cohesion(spark, edges, nodes, **kw):
+    from liblevenshtein_rust_spark.operators.cluster import (
+        cluster_cohesion, connected_components)
+    edf = spark.createDataFrame(edges or [("x", "x", 0)],
+                                ["term_a", "term_b", "distance"])
+    if not edges:
+        edf = edf.limit(0)
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["term"])
+    cl = connected_components(edf, ndf, src="term_a", dst="term_b",
+                              node_col="term")
+    out = cluster_cohesion(cl, edf, weight_col="distance", **kw)
+    return {r.entity_id: r.asDict() for r in out.collect()}
+
+
+def test_cohesion_chain_triangle_singleton(spark):
+    # chain a-b-c-d (3 edges, 4 nodes -> density 3/6 = 500),
+    # triangle p-q-r (density 1000), singleton z
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "d", 2),
+             ("p", "q", 1), ("q", "r", 1), ("p", "r", 1)]
+    got = _cohesion(spark, edges, ["a", "b", "c", "d", "p", "q", "r", "z"])
+    assert got["a"] == {"entity_id": "a", "n_nodes": 4, "n_edges": 3,
+                        "density_milli": 500, "max_weight": 2,
+                        "sparse_flag": 0}
+    assert got["p"] == {"entity_id": "p", "n_nodes": 3, "n_edges": 3,
+                        "density_milli": 1000, "max_weight": 1,
+                        "sparse_flag": 0}
+    assert got["z"] == {"entity_id": "z", "n_nodes": 1, "n_edges": 0,
+                        "density_milli": 1000, "max_weight": None,
+                        "sparse_flag": 0}
+
+
+def test_cohesion_sparse_flag_long_chain(spark):
+    # 5-node chain: density 4 edges / C(5,2)=10 -> 800? no: 2000*4/20=400
+    edges = [(f"n{i}", f"n{i+1}", 1) for i in range(4)]
+    got = _cohesion(spark, edges, [f"n{i}" for i in range(5)])
+    (row,) = got.values()
+    assert row["density_milli"] == 400
+    assert row["sparse_flag"] == 1
+
+
+def test_cohesion_edge_order_normalized(spark):
+    # endpoints given in either order count once and identically
+    got_fwd = _cohesion(spark, [("a", "b", 1)], ["a", "b"])
+    got_rev = _cohesion(spark, [("b", "a", 1)], ["a", "b"])
+    assert got_fwd == got_rev
+    assert got_fwd["a"]["n_edges"] == 1
+
+
+def test_cohesion_random_graphs_vs_pandas(spark):
+    import itertools
+    rng = np.random.default_rng(7)
+    nodes = [f"t{i:02d}" for i in range(30)]
+    all_pairs = list(itertools.combinations(nodes, 2))
+    idx = rng.choice(len(all_pairs), size=40, replace=False)
+    edges = [(all_pairs[i][0], all_pairs[i][1], int(rng.integers(1, 4)))
+             for i in idx]
+    got = _cohesion(spark, edges, nodes)
+    # oracle: union-find + dict aggregation
+    comp = _oracle([(a, b) for a, b, _ in edges], nodes)
+    import collections
+    n_nodes = collections.Counter(comp.values())
+    n_edges = collections.Counter()
+    max_w = {}
+    for a, b, w in edges:
+        e = comp[a]
+        assert comp[b] == e
+        n_edges[e] += 1
+        max_w[e] = max(max_w.get(e, 0), w)
+    assert set(got) == set(n_nodes)
+    for e, row in got.items():
+        assert row["n_nodes"] == n_nodes[e]
+        assert row["n_edges"] == n_edges.get(e, 0)
+        assert row["max_weight"] == max_w.get(e)
+        nn = n_nodes[e]
+        exp_d = 1000 if nn <= 1 else (2000 * n_edges.get(e, 0)) // (nn * (nn - 1))
+        assert row["density_milli"] == exp_d

@@ -95,3 +95,17 @@ def test_substring_doc_index_reuse_skips_index_rebuild(spark):
     n_explodes_without = without.lower().count("explode")
     assert n_explodes_with < n_explodes_without, (
         with_idx, n_explodes_with, n_explodes_without)
+
+
+def test_cluster_cohesion_plan_is_jvm_only(spark):
+    """The cohesion audit must stay aggregation+join codegen: no Python
+    nodes, and no re-derivation of pairwise work (its only inputs are the
+    cluster map and the already-materialized pair list)."""
+    from liblevenshtein_rust_spark.operators.cluster import cluster_cohesion
+    cl = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], ["term", "entity_id"])
+    pairs = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], ["term_a", "term_b", "distance"])
+    plan = _plan(cluster_cohesion(cl, pairs, weight_col="distance"))
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
