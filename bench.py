@@ -629,8 +629,11 @@ def _history_table() -> str:
             "0.713 against a two-leg Amdahl fit ceiling of ~0.71 — so "
             "the corpus doubled to k=256 to restore the "
             "parallel-dominated regime that 1000-executor batch sizes "
-            "live in: the k=256 draws measure **0.939** (r4 #7), over "
-            "the bar with the SAME survivor count per draw asserted.")
+            "live in: the k=256 draws so far measure **0.939** (r4 #7) "
+            "and 0.769 (r4 #8, an invocation whose 8-core legs in BOTH "
+            "families were visibly contended — flagship 85.9 s vs "
+            "69-76 s typical, colds 163/236 s), with the SAME survivor "
+            "count per draw asserted.")
 
 
 def _kernel_rate() -> int:
@@ -780,8 +783,11 @@ so the efficiency claim is not single-workload.
   term (two-leg Amdahl fit F ~16.6 s / P ~214 s -> ceiling ~0.71;
   the one post-cache k=128 draw measured 0.713, matching the fit), so
   the corpus doubled to k=256, restoring the parallel-dominated
-  regime. First k=256 draw: **0.939** (2 -> 8), survivor counts
-  identical across legs and runs. Efficiency draws compare only
+  regime. k=256 draws so far: **0.939** (2 -> 8), then 0.769 in an
+  invocation whose 8-core legs in BOTH families were visibly
+  contended (flagship 85.9 s vs 69-76 s typical; colds 163/236 s) —
+  survivor counts identical across all legs and draws. Efficiency
+  draws compare only
   within an era; the criterion — the CODE's scaling shape at
   batch sizes where parallel work dominates, as on any real
   multi-executor deployment — is met in every era measured at such a
