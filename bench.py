@@ -629,11 +629,16 @@ def _history_table() -> str:
             "0.713 against a two-leg Amdahl fit ceiling of ~0.71 — so "
             "the corpus doubled to k=256 to restore the "
             "parallel-dominated regime that 1000-executor batch sizes "
-            "live in: the k=256 draws so far measure **0.939** (r4 #7) "
-            "and 0.769 (r4 #8, an invocation whose 8-core legs in BOTH "
-            "families were visibly contended — flagship 85.9 s vs "
-            "69-76 s typical, colds 163/236 s), with the SAME survivor "
-            "count per draw asserted.")
+            "live in: five k=256 draws — **0.939** in a clean window "
+            "(r4 #7), then 0.769 / 0.618 / 0.736 / 0.743 inside a "
+            "sustained degraded window (post-03:00 UTC on the final r4 "
+            "day) in which the 8-core legs of BOTH families slowed "
+            "20-30% on identical code, input, and survivor counts "
+            "(flagship 82-86 s vs 69-76 s across eleven earlier draws; "
+            "dedup 94-106 s vs 80.9 s) while 2-core and 32-core legs "
+            "stayed in range — the co-degradation of an UNCHANGED "
+            "flagship pins it on the box, not the code. The SAME "
+            "survivor count per draw is asserted in every leg.")
 
 
 def _kernel_rate() -> int:
@@ -783,10 +788,15 @@ so the efficiency claim is not single-workload.
   term (two-leg Amdahl fit F ~16.6 s / P ~214 s -> ceiling ~0.71;
   the one post-cache k=128 draw measured 0.713, matching the fit), so
   the corpus doubled to k=256, restoring the parallel-dominated
-  regime. k=256 draws so far: **0.939** (2 -> 8), then 0.769 in an
-  invocation whose 8-core legs in BOTH families were visibly
-  contended (flagship 85.9 s vs 69-76 s typical; colds 163/236 s) —
-  survivor counts identical across all legs and draws. Efficiency
+  regime. Five k=256 draws: **0.939** (2 -> 8) in a clean window,
+  then 0.769 / 0.618 / 0.736 / 0.743 inside a sustained degraded
+  window (post-03:00 UTC on the final r4 day) in which the 8-core
+  legs of BOTH families slowed 20-30% on identical code, input, and
+  survivor counts (flagship 82-86 s vs 69-76 s across eleven earlier
+  draws; dedup 94-106 s vs 80.9 s) while the 2-core and 32-core legs
+  stayed in their normal ranges — the co-degradation of an UNCHANGED
+  flagship job pins the cause on the box, not the code. Survivor
+  counts are identical across all legs and draws. Efficiency
   draws compare only
   within an era; the criterion — the CODE's scaling shape at
   batch sizes where parallel work dominates, as on any real
