@@ -448,8 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pattern as incremental_linkage.
     def _incremental_substring(s, d):
         from liblevenshtein_rust_spark.operators.substring import (
-            build_substring_index, fuzzy_substring_join,
-            incremental_substring_index)
+            build_substring_index, compact_substring_index,
+            fuzzy_substring_join, incremental_substring_index)
         docs = _docs(s, d).select("doc_id", F.lower("text").alias("text"))
         lens = sorted({len(t) for t in SUBSTR_POS_QUERIES})
         evens = docs.where("doc_id % 2 = 0")
@@ -463,6 +463,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = incremental_substring_index(idx, seg_lens=lens,
                                           upserts=modified,
                                           delete_ids=deletes)
+        # full maintenance cycle: compaction (SuffixAutomaton::compact
+        # analog, suffix_automaton.rs:640) rewrites the accumulated
+        # union/anti-join lineage into a fresh _bkey-clustered layout;
+        # the oracle (full recompute) proves it changes nothing
+        idx = compact_substring_index(idx)
         final_docs = (
             docs.where("doc_id % 8 != 6")
             .select("doc_id",
@@ -794,7 +799,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # threshold -> clusters. Three driver-oracled surfaces:
     # - fs_scored_pairs: every candidate pair with its gamma vector,
     #   integer milli match weight, and classification (all-integer
-    #   arithmetic — the weights use power-of-two m/u ratios);
+    #   arithmetic — the weights use power-of-two m/u ratios). r5: pairs
+    #   come from a MULTI-RULE blocking union (blocks=["block","city"],
+    #   Splink-style rule union, deduped on the id pair before scoring)
+    #   — the oracle's UNION proves cross-rule candidates a single block
+    #   misses are present exactly once. The phone gamma carries the FS
+    #   missing level (g_phone=2 when either side's phone is NULL —
+    #   planted on i % 11 = 0 variants), weighted 0 (no evidence);
     # - fs_em_params: EM-estimated lambda and per-field m/u after 20
     #   fixed-point iterations from a fixed init, parameters snapped to
     #   the 1e-9 grid each round so the DuckDB twin (which unrolls the
@@ -806,8 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _fs_scored(s, d):
         import liblevenshtein_rust_spark.operators.probabilistic as P
         recs = _linkage_records(s, d)
-        g = P.comparison_vectors(P.block_candidate_pairs(recs),
-                                 P.transcript_field_specs())
+        g = P.comparison_vectors(
+            P.block_candidate_pairs(recs, blocks=["block", "city"]),
+            P.transcript_field_specs())
         return (P.score_pairs(g, P.transcript_field_specs())
                 .select(F.col("rec_id_l").alias("id_a"),
                         F.col("rec_id_r").alias("id_b"),
@@ -1122,7 +1134,8 @@ _FS_LINKREC_CTE = (
     "    CASE WHEN i % 2 = 0 THEN substr(code,1,p1-1) || substr(code,p1+1) "
     "         ELSE code END, "
     "    CASE WHEN i % 7 = 0 THEN cityc ELSE city0 END, "
-    "    CASE WHEN i % 3 = 0 THEN substr(phone0,1,pp-1) || "
+    "    CASE WHEN i % 11 = 0 THEN NULL "
+    "      WHEN i % 3 = 0 THEN substr(phone0,1,pp-1) || "
     "      CAST((CAST(substr(phone0,pp,1) AS INT) + 1) % 10 AS VARCHAR) || "
     "      substr(phone0,pp+1) ELSE phone0 END, "
     "    code FROM lrb), "
@@ -1131,9 +1144,32 @@ _FS_LINKREC_CTE = (
     "       WHEN levenshtein(a.name, b.name) <= 2 THEN 1 ELSE 2 END "
     "    AS g_name, "
     "  CASE WHEN a.city = b.city THEN 0 ELSE 1 END AS g_city, "
-    "  CASE WHEN a.phone = b.phone THEN 0 ELSE 1 END AS g_phone "
+    "  CASE WHEN a.phone IS NULL OR b.phone IS NULL THEN 2 "
+    "       WHEN a.phone = b.phone THEN 0 ELSE 1 END AS g_phone "
     "  FROM recs a JOIN recs b "
     "  ON a.block = b.block AND a.rec_id < b.rec_id)"
+)
+
+# multi-rule blocking candidates (Splink-style rule union): intra-block
+# pairs UNION intra-city pairs, deduped on the id pair (SQL UNION), then
+# gammas computed once per surviving pair — the twin of
+# probabilistic.block_candidate_pairs(blocks=["block", "city"])
+_FS_MULTIBLOCK_CTE = (
+    "cand AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b "
+    "  FROM recs a JOIN recs b "
+    "  ON a.block = b.block AND a.rec_id < b.rec_id "
+    "  UNION "
+    "  SELECT a.rec_id, b.rec_id FROM recs a JOIN recs b "
+    "  ON a.city = b.city AND a.rec_id < b.rec_id), "
+    "gp2 AS (SELECT c.id_a, c.id_b, "
+    "  CASE WHEN ra.name = rb.name THEN 0 "
+    "       WHEN levenshtein(ra.name, rb.name) <= 2 THEN 1 ELSE 2 END "
+    "    AS g_name, "
+    "  CASE WHEN ra.city = rb.city THEN 0 ELSE 1 END AS g_city, "
+    "  CASE WHEN ra.phone IS NULL OR rb.phone IS NULL THEN 2 "
+    "       WHEN ra.phone = rb.phone THEN 0 ELSE 1 END AS g_phone "
+    "  FROM cand c JOIN recs ra ON c.id_a = ra.rec_id "
+    "  JOIN recs rb ON c.id_b = rb.rec_id)"
 )
 
 # integer milli match weight over the gamma vector (mirrors
@@ -1141,7 +1177,7 @@ _FS_LINKREC_CTE = (
 _FS_WEIGHT = (
     "1000 * ((CASE g_name WHEN 0 THEN 8 WHEN 1 THEN 7 ELSE -8 END) + "
     "(CASE g_city WHEN 0 THEN 2 ELSE -2 END) + "
-    "(CASE g_phone WHEN 0 THEN 3 ELSE -4 END))"
+    "(CASE g_phone WHEN 0 THEN 3 WHEN 1 THEN -4 ELSE 0 END))"
 )
 
 
@@ -1155,11 +1191,15 @@ def _fs_em_sql(n_iter: int = 20) -> str:
         return ("floor(least(greatest(" + e + ", 0.000001), 0.999999)"
                 " * 1000000000 + 0.5) / 1000000000")
 
+    # phone carries a MISSING level (g_phone = 2): init per
+    # probabilistic.default_init's inits_null3 — equal small mass in m
+    # and u (uninformative prior on missingness)
     init = [("lam", 0.5),
             ("mn0", 0.6), ("mn1", 0.3), ("mn2", 0.1),
             ("un0", 0.1), ("un1", 0.2), ("un2", 0.7),
             ("mc0", 0.9), ("mc1", 0.1), ("uc0", 0.2), ("uc1", 0.8),
-            ("mp0", 0.9), ("mp1", 0.1), ("up0", 0.2), ("up1", 0.8)]
+            ("mp0", 0.7), ("mp1", 0.2), ("mp2", 0.1),
+            ("up0", 0.15), ("up1", 0.75), ("up2", 0.1)]
     # AS MATERIALIZED pins each step: DuckDB otherwise inlines the CTE
     # chain per-reference and the 20-iteration unroll explodes
     # (456 s -> <1 s measured at sf0.01)
@@ -1173,11 +1213,11 @@ def _fs_em_sql(n_iter: int = 20) -> str:
     m_case = ("(CASE g_name WHEN 0 THEN p.mn0 WHEN 1 THEN p.mn1 "
               "ELSE p.mn2 END) * (CASE g_city WHEN 0 THEN p.mc0 "
               "ELSE p.mc1 END) * (CASE g_phone WHEN 0 THEN p.mp0 "
-              "ELSE p.mp1 END)")
+              "WHEN 1 THEN p.mp1 ELSE p.mp2 END)")
     u_case = ("(CASE g_name WHEN 0 THEN p.un0 WHEN 1 THEN p.un1 "
               "ELSE p.un2 END) * (CASE g_city WHEN 0 THEN p.uc0 "
               "ELSE p.uc1 END) * (CASE g_phone WHEN 0 THEN p.up0 "
-              "ELSE p.up1 END)")
+              "WHEN 1 THEN p.up1 ELSE p.up2 END)")
     for k in range(1, n_iter + 1):
         ctes.append(
             f"e{k} AS MATERIALIZED (SELECT g_name, g_city, g_phone, c, "
@@ -1188,7 +1228,7 @@ def _fs_em_sql(n_iter: int = 20) -> str:
             f"pm / (pm + pu) AS w FROM e{k})")
         upd = [qcl("sum(w * c) / sum(c)") + " AS lam"]
         for fld, col, levels in (("g_name", "n", 3), ("g_city", "c", 2),
-                                 ("g_phone", "p", 2)):
+                                 ("g_phone", "p", 3)):
             for lvl in range(levels):
                 upd.append(qcl(
                     f"sum(CASE WHEN {fld} = {lvl} THEN w * c ELSE 0 END)"
@@ -1204,7 +1244,7 @@ def _fs_em_sql(n_iter: int = 20) -> str:
         "CAST(floor(lam * 1000 + 0.5) AS BIGINT) AS m_milli, "
         f"CAST(-1 AS BIGINT) AS u_milli FROM {pk}"]
     for fname, col, levels in (("name", "n", 3), ("city", "c", 2),
-                               ("phone", "p", 2)):
+                               ("phone", "p", 3)):
         for lvl in range(levels):
             out.append(
                 f"SELECT '{fname}', CAST({lvl} AS INT), "
@@ -1352,10 +1392,10 @@ def oracle_sql() -> dict[str, str]:
         "       FROM fuzzy f JOIN clusters ca ON f.ta = ca.term "
         "                    JOIN clusters cb ON f.tb = cb.term "
         "       WHERE ca.entity_id = cb.entity_id), "
-        "es AS (SELECT e, CAST(count(*) AS INT) AS n_edges, "
+        "es AS (SELECT e, CAST(count(*) AS BIGINT) AS n_edges, "
         "              CAST(max(d) AS INT) AS max_distance FROM ee GROUP BY e) "
         "SELECT s.entity_id, s.n_terms, "
-        "       CAST(coalesce(es.n_edges, 0) AS INT) AS n_edges, "
+        "       CAST(coalesce(es.n_edges, 0) AS BIGINT) AS n_edges, "
         "       CAST(CASE WHEN s.n_terms <= 1 THEN 1000 "
         "            ELSE floor(2000.0 * coalesce(es.n_edges, 0) "
         "                       / (s.n_terms * (s.n_terms - 1))) END AS INT) "
@@ -2121,11 +2161,11 @@ def oracle_sql() -> dict[str, str]:
     # driver-side fixed point), (c) end-to-end FS clusters evaluated by
     # recursive-CTE closure + the shared pairwise-F1 closed form.
     o["fs_scored_pairs"] = (
-        f"WITH {_FS_LINKREC_CTE} "
+        f"WITH {_FS_LINKREC_CTE}, {_FS_MULTIBLOCK_CTE} "
         "SELECT id_a, id_b, g_name, g_city, g_phone, "
         f"CAST({_FS_WEIGHT} AS BIGINT) AS weight_milli, "
         f"CAST(CASE WHEN {_FS_WEIGHT} >= 0 THEN 1 ELSE 0 END AS BIGINT) "
-        "AS is_match FROM gp"
+        "AS is_match FROM gp2"
     )
     o["fs_em_params"] = _fs_em_sql(20)
     # TF adjustment twin: the frequency aggregate, u_v / u_field ratios,
@@ -2140,7 +2180,8 @@ def oracle_sql() -> dict[str, str]:
         "       WHEN levenshtein(a.name, b.name) <= 2 THEN 1 ELSE 2 END "
         "    AS g_name, "
         "  CASE WHEN a.city = b.city THEN 0 ELSE 1 END AS g_city, "
-        "  CASE WHEN a.phone = b.phone THEN 0 ELSE 1 END AS g_phone "
+        "  CASE WHEN a.phone IS NULL OR b.phone IS NULL THEN 2 "
+        "       WHEN a.phone = b.phone THEN 0 ELSE 1 END AS g_phone "
         "  FROM recs a JOIN recs b "
         "  ON a.block = b.block AND a.rec_id < b.rec_id), "
         "freqs AS (SELECT city AS tf_value, "

@@ -16,6 +16,13 @@ Extra modes:
   --scaling       runs --scale-job at 8 and 32 cores in fresh JVMs
                   (sandbox stand-in for N vs 4N executors) and rewrites
                   BENCH/BASELINE.md with throughput + scaling efficiency
+  --probe         2-second box-weather check: fixed CPU work on 8 pinned
+                  cores, graded against the rolling clean reference in
+                  SCALING_HISTORY.jsonl (>20% above = degraded window).
+                  Every bench/scale-job invocation also records this
+                  probe automatically in its output JSON.
+  --rewrite-baseline  regenerate BENCH/BASELINE.md from the last
+                  recorded --scaling output (template edits only)
 """
 
 from __future__ import annotations
@@ -67,6 +74,78 @@ HEADLINE = [
     # fixed-overhead-dominated (0.6M/s) and understated the rate >10x
     "fs_score_9m",
 ]
+
+
+def _probe_proc(core: int, reps: int, q) -> None:
+    """Fixed-work probe worker: pins itself to ONE core and times `reps`
+    identical 384x384 float64 matmuls. Run in a child process so the
+    parent's affinity mask / Spark gateway never affect it."""
+    try:
+        os.sched_setaffinity(0, {core})
+    except (AttributeError, ValueError, OSError):
+        pass
+    import numpy as np
+    a = np.random.default_rng(core).random((384, 384))
+    t0 = time.time()
+    for _ in range(reps):
+        a = a @ a
+        a /= np.abs(a).max() + 1.0  # keep values finite
+    q.put(time.time() - t0)
+
+
+def _window_probe(n_procs: int = 8, reps: int = 60) -> float:
+    """Box-weather probe (VERDICT r4 #3): fixed CPU work on 8 distinct
+    pinned cores; returns the SLOWEST worker's wall seconds. The r4
+    degradation signature was specifically mid-parallelism (8-core) legs
+    slowing 20-30% while 2-/32-core legs stayed normal — a straggler-
+    sensitive 8-way pinned probe reproduces exactly that sensitivity in
+    ~2 s, turning "box weather" from narrative into a recorded per-draw
+    number every bench/scaling invocation ships in its JSON."""
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_probe_proc, args=(i, reps, q))
+             for i in range(n_procs)]
+    for p in procs:
+        p.start()
+    times = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    return round(max(times), 3)
+
+
+def _probe_reference() -> float | None:
+    """Rolling clean reference: median of the 3 fastest probes recorded in
+    SCALING_HISTORY.jsonl (min-biased so a first draw that happens to land
+    in a degraded window self-heals once any cleaner probe is recorded)."""
+    vals: list[float] = []
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH/SCALING_HISTORY.jsonl")) as f:
+            for ln in f:
+                r = json.loads(ln)
+                for v in (r.get("probes") or {}).values():
+                    if isinstance(v, (int, float)):
+                        vals.append(float(v))
+                if isinstance(r.get("window_probe_sec"), (int, float)):
+                    vals.append(float(r["window_probe_sec"]))
+    except FileNotFoundError:
+        return None
+    if not vals:
+        return None
+    vals.sort()
+    best3 = vals[:3]
+    return best3[len(best3) // 2]
+
+
+def _probe_and_flag() -> tuple[float, "bool | None", "float | None"]:
+    """Run the probe and grade it against the rolling clean reference:
+    >20% above reference = degraded window (the VERDICT r4 #3 threshold).
+    Returns (probe_sec, degraded_or_None_if_no_reference, reference)."""
+    p = _window_probe()
+    ref = _probe_reference()
+    degraded = None if ref is None else bool(p > 1.2 * ref)
+    return p, degraded, ref
 
 
 def _spark(cores: str):
@@ -235,6 +314,11 @@ def _bench_queries(em) -> dict:
 
 def run_default() -> None:
     import __spark_entry__ as em
+    # window-health probe BEFORE the JVM exists (VERDICT r4 #3): one
+    # recorded number that says whether this draw ran in a clean window
+    probe, probe_degraded, probe_ref = _probe_and_flag()
+    print(f"# window probe: {probe}s (clean ref {probe_ref}, "
+          f"degraded={probe_degraded})", file=sys.stderr, flush=True)
     spark = _spark(CPUS)
     qs = _bench_queries(em)
     _warmup(spark, em)
@@ -299,6 +383,9 @@ def run_default() -> None:
         "cold_queries": cold,
         "steady_method": "median-of-isolated-draws",
         "draws": n_draws,
+        "window_probe_sec": probe,
+        "window_probe_clean_ref": probe_ref,
+        "window_degraded": probe_degraded,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
@@ -425,6 +512,7 @@ def run_scale_job_dedup(cores: str, k: int = 256) -> None:
     scaling criterion at a batch size where the join dominates."""
     from liblevenshtein_rust_spark.operators.dedup import (
         near_dup_dedup, token_jaccard_pairs, unpersist_inputs)
+    probe = _window_probe()  # before pinning: probe owns cores 0-7
     try:
         os.sched_setaffinity(0, set(range(int(cores))))
     except (AttributeError, ValueError, OSError):
@@ -472,12 +560,14 @@ def run_scale_job_dedup(cores: str, k: int = 256) -> None:
     print(json.dumps({"cores": int(cores), "seconds": round(dt, 3),
                       "cold_seconds": round(warm_dt, 3),
                       "docs": n_docs, "survivors": n_surv,
-                      "docs_per_sec": round(n_docs / dt)}))
+                      "docs_per_sec": round(n_docs / dt),
+                      "probe_8core_sec": probe}))
 
 
 def run_scale_job(cores: str, k: int = 192) -> None:
     from liblevenshtein_rust_spark.operators.fuzzy_join import (
         build_dictionary, fuzzy_self_join)
+    probe = _window_probe()  # before pinning: probe owns cores 0-7
     # Pin this leg (driver + forthcoming JVM + Python workers inherit the
     # affinity mask) to exactly N cores: an N-core executor on a real
     # cluster cannot exceed its allotment, but an unpinned local[N] JVM
@@ -515,7 +605,8 @@ def run_scale_job(cores: str, k: int = 192) -> None:
     print(json.dumps({"cores": int(cores), "seconds": round(dt, 3),
                       "cold_seconds": round(warm_dt, 3),
                       "turns": n_turns, "pairs": n_pairs,
-                      "turns_per_sec": round(n_turns / dt)}))
+                      "turns_per_sec": round(n_turns / dt),
+                      "probe_8core_sec": probe}))
 
 
 def run_scaling() -> None:
@@ -544,6 +635,17 @@ def run_scaling() -> None:
         print(f"# dedup local[{cores}]: {dd[cores]}", file=sys.stderr)
     dd_eff_2_8 = (dd["2"]["seconds"] / dd["8"]["seconds"]) / 4
     dd_eff_8_32 = (dd["8"]["seconds"] / dd["32"]["seconds"]) / 4
+    # per-leg window probes (each leg ran one before pinning): the worst
+    # probe grades the whole invocation against the rolling clean
+    # reference BEFORE this invocation's own probes are appended
+    probes = {f"flagship_{c}": results[c].get("probe_8core_sec")
+              for c in results}
+    probes.update({f"dedup_{c}": dd[c].get("probe_8core_sec") for c in dd})
+    probe_vals = [v for v in probes.values() if isinstance(v, (int, float))]
+    ref = _probe_reference()
+    worst = max(probe_vals) if probe_vals else None
+    degraded = (None if ref is None or worst is None
+                else bool(worst > 1.2 * ref))
     out = {
         "metric": "scaling_efficiency_n_to_4n_cores",
         "value": round(eff_2_8, 3),
@@ -554,9 +656,15 @@ def run_scaling() -> None:
         "dedup_eff_2_to_8": round(dd_eff_2_8, 3),
         "dedup_eff_8_to_32": round(dd_eff_8_32, 3),
         "dedup_legs": dd,
+        "probes": probes,
+        "probe_worst": worst,
+        "probe_clean_ref": ref,
+        "window_degraded": degraded,
     }
     print(json.dumps(out))
     _append_history(out)
+    with open("BENCH/last_scaling.json", "w") as f:
+        json.dump(out, f, indent=1)  # lets --rewrite-baseline regenerate
     _write_baseline_md(out)
 
 
@@ -572,11 +680,19 @@ def _append_history(out: dict) -> None:
     except FileNotFoundError:
         n = 0
     rec = {"label": f"run #{n + 1}",
+           "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "eff_2_to_8": out["eff_2_to_8"], "eff_8_to_32": out["eff_8_to_32"],
            "legs_steady": {c: out["legs"][c]["seconds"] for c in out["legs"]}}
     if "dedup_eff_2_to_8" in out:
         rec["dedup_eff_2_to_8"] = out["dedup_eff_2_to_8"]
         rec["dedup_eff_8_to_32"] = out["dedup_eff_8_to_32"]
+        # era tag keeps the per-era medians computable without label
+        # parsing; bump when the dedup corpus k or the family's code
+        # changes shape (k=256 since r4 #7)
+        rec["era"] = "k256"
+    for k in ("probes", "probe_worst", "probe_clean_ref", "window_degraded"):
+        if out.get(k) is not None:
+            rec[k] = out[k]
     with open("BENCH/SCALING_HISTORY.jsonl", "a") as f:
         f.write(json.dumps(rec) + "\n")
 
@@ -589,23 +705,61 @@ def _history_table() -> str:
                 r = json.loads(ln)
                 ls = r.get("legs_steady", {})
                 dd = r.get("dedup_eff_2_to_8", "—")
+                if r.get("window_degraded") is True:
+                    win = f"DEGRADED ({r.get('probe_worst')}s)"
+                elif r.get("window_degraded") is False:
+                    win = f"clean ({r.get('probe_worst')}s)"
+                elif r.get("probe_worst") is not None:
+                    win = f"n/a ({r.get('probe_worst')}s)"
+                else:
+                    win = "—"
                 rows.append(
                     f"| {r.get('label', 'run')} | {ls.get('2', '—')} "
                     f"| {ls.get('8', '—')} | {ls.get('32', '—')} "
                     f"| {r.get('eff_2_to_8', '—')} "
-                    f"| {r.get('eff_8_to_32', '—')} | {dd} |")
+                    f"| {r.get('eff_8_to_32', '—')} | {dd} | {win} |")
     except FileNotFoundError:
         return "(no recorded invocations)"
-    effs = []
+    def _median(vals: list) -> float | None:
+        if not vals:
+            return None
+        vals = sorted(vals)
+        n = len(vals)
+        return vals[n // 2] if n % 2 else round(
+            (vals[n // 2 - 1] + vals[n // 2]) / 2, 3)
+
+    effs, k256_clean, k256_all = [], [], []
     with open("BENCH/SCALING_HISTORY.jsonl") as f:
-        effs = [json.loads(ln)["eff_2_to_8"] for ln in f
-                if "eff_2_to_8" in json.loads(ln)]
-    effs.sort()
-    med = effs[len(effs) // 2] if len(effs) % 2 else round(
-        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+        for ln in f:
+            r = json.loads(ln)
+            if "eff_2_to_8" in r:
+                effs.append(r["eff_2_to_8"])
+            # dedup k=256 era: explicit era field (r5+) or label tag (r4).
+            # Clean = probe-graded clean, or (pre-probe r4 rows) a label
+            # that reports neither degradation nor contention.
+            label = str(r.get("label", "")).lower()
+            in_era = r.get("era") == "k256" or "k=256" in label
+            if in_era and "dedup_eff_2_to_8" in r:
+                k256_all.append(r["dedup_eff_2_to_8"])
+                degraded = r.get("window_degraded")
+                if degraded is None:
+                    degraded = ("degraded" in label or "contention" in label)
+                if not degraded:
+                    k256_clean.append(r["dedup_eff_2_to_8"])
+    med = _median(effs)
+    k256_line = (
+        f"\n\nDedup k=256-era clean-window median (the era's north-rule "
+        f"evidence; protocol requires >=3 clean draws): "
+        f"**{_median(k256_clean)}** over {len(k256_clean)} clean draw(s) "
+        f"[{', '.join(str(v) for v in sorted(k256_clean))}] — "
+        f"{len(k256_all) - len(k256_clean)} degraded-window draw(s) "
+        f"excluded (all-draws median {_median(k256_all)}, n={len(k256_all)})."
+    )
     return ("| invocation | 2-core s | 8-core s | 32-core s | eff 2→8 "
-            "| eff 8→32 | dedup eff 2→8 |\n|---|---|---|---|---|---|---|\n"
+            "| eff 8→32 | dedup eff 2→8 | window probe |\n"
+            "|---|---|---|---|---|---|---|---|\n"
             + "\n".join(rows)
+            + k256_line
             + f"\n\nMedian flagship 2→8 efficiency across invocations: "
             f"**{med}** "
             f"(n={len(effs)}; identical code+input per family, "
@@ -629,16 +783,22 @@ def _history_table() -> str:
             "0.713 against a two-leg Amdahl fit ceiling of ~0.71 — so "
             "the corpus doubled to k=256 to restore the "
             "parallel-dominated regime that 1000-executor batch sizes "
-            "live in: five k=256 draws — **0.939** in a clean window "
-            "(r4 #7), then 0.769 / 0.618 / 0.736 / 0.743 inside a "
-            "sustained degraded window (post-03:00 UTC on the final r4 "
-            "day) in which the 8-core legs of BOTH families slowed "
-            "20-30% on identical code, input, and survivor counts "
-            "(flagship 82-86 s vs 69-76 s across eleven earlier draws; "
-            "dedup 94-106 s vs 80.9 s) while 2-core and 32-core legs "
-            "stayed in range — the co-degradation of an UNCHANGED "
-            "flagship pins it on the box, not the code. The SAME "
-            "survivor count per draw is asserted in every leg.")
+            "live in. k=256 era evidence status: the r4 draws were "
+            "**0.939** in a clean window (r4 #7), then 0.769 / 0.618 / "
+            "0.736 / 0.743 inside a sustained degraded window "
+            "(post-03:00 UTC on the final r4 day) in which the 8-core "
+            "legs of BOTH families slowed 20-30% on identical code, "
+            "input, and survivor counts (flagship 82-86 s vs 69-76 s "
+            "across eleven earlier draws; dedup 94-106 s vs 80.9 s) "
+            "while 2-core and 32-core legs stayed in range — the "
+            "co-degradation of an UNCHANGED flagship pins it on the "
+            "box, not the code; per-draw window probes (the `window "
+            "probe` column) now record that state per invocation. "
+            "Per this file's own protocol the era's >=0.8 claim is "
+            "gated on a median of >=3 CLEAN-WINDOW draws — degraded-"
+            "window draws are reported for transparency but do not "
+            "count toward the era median. The SAME survivor count per "
+            "draw is asserted in every leg.")
 
 
 def _kernel_rate() -> int:
@@ -788,7 +948,7 @@ so the efficiency claim is not single-workload.
   term (two-leg Amdahl fit F ~16.6 s / P ~214 s -> ceiling ~0.71;
   the one post-cache k=128 draw measured 0.713, matching the fit), so
   the corpus doubled to k=256, restoring the parallel-dominated
-  regime. Five k=256 draws: **0.939** (2 -> 8) in a clean window,
+  regime. r4 k=256 draws: **0.939** (2 -> 8) in a clean window,
   then 0.769 / 0.618 / 0.736 / 0.743 inside a sustained degraded
   window (post-03:00 UTC on the final r4 day) in which the 8-core
   legs of BOTH families slowed 20-30% on identical code, input, and
@@ -796,12 +956,14 @@ so the efficiency claim is not single-workload.
   draws; dedup 94-106 s vs 80.9 s) while the 2-core and 32-core legs
   stayed in their normal ranges — the co-degradation of an UNCHANGED
   flagship job pins the cause on the box, not the code. Survivor
-  counts are identical across all legs and draws. Efficiency
-  draws compare only
-  within an era; the criterion — the CODE's scaling shape at
-  batch sizes where parallel work dominates, as on any real
-  multi-executor deployment — is met in every era measured at such a
-  batch size.
+  counts are identical across all legs and draws. Efficiency draws
+  compare only within an era, and per the protocol above an era's
+  >=0.8 claim requires a median of >=3 CLEAN-WINDOW draws: the k=32
+  and post-fix k=128 eras meet it outright; the k=256 era's status
+  is whatever the clean-window rows of the invocation history table
+  above currently show (degraded-window rows — flagged by the
+  per-draw window probe — are reported for transparency and excluded
+  from the era median).
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — scaling evidence (north rule)
@@ -907,7 +1069,12 @@ shuffle-bound, not CPU-bound, by design.
 
 
 if __name__ == "__main__":
-    if "--kernel" in sys.argv:
+    if "--probe" in sys.argv:
+        p, degraded, ref = _probe_and_flag()
+        print(json.dumps({"metric": "window_probe_sec", "value": p,
+                          "unit": "sec", "clean_ref": ref,
+                          "window_degraded": degraded}))
+    elif "--kernel" in sys.argv:
         run_kernel()
     elif "--scale-job-dedup" in sys.argv:
         run_scale_job_dedup(sys.argv[sys.argv.index("--scale-job-dedup") + 1])
@@ -915,5 +1082,11 @@ if __name__ == "__main__":
         run_scale_job(sys.argv[sys.argv.index("--scale-job") + 1])
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--rewrite-baseline" in sys.argv:
+        # regenerate BENCH/BASELINE.md from the last recorded --scaling
+        # output (narrative/template edits without a 35-min rerun)
+        with open("BENCH/last_scaling.json") as f:
+            _write_baseline_md(json.load(f))
+        print("# BENCH/BASELINE.md regenerated", file=sys.stderr)
     else:
         run_default()

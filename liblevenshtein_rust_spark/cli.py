@@ -106,6 +106,17 @@ def main(argv: list[str] | None = None) -> int:
     mn.add_argument("--dict", required=True)
     mn.add_argument("--target-files", type=int, default=1)
 
+    ci = sub.add_parser("compact-index",
+                        help="compact an incrementally-maintained substring"
+                             "-index parquet (SuffixAutomaton::compact "
+                             "analog): rewrite dead rows + lineage into a "
+                             "fresh _bkey-clustered layout in place")
+    ci.add_argument("--index", required=True,
+                    help="parquet path of the substring index")
+    ci.add_argument("--partitions", type=int, default=None,
+                    help="output partition count (default: "
+                         "spark.sql.shuffle.partitions)")
+
     # training-data-pipeline ops surface: document dedup as a single
     # command (exact / token-Jaccard / MinHash-LSH / SimHash), writing
     # the surviving docs (+ n_removed per survivor) to parquet
@@ -154,6 +165,12 @@ def main(argv: list[str] | None = None) -> int:
                          "pattern counts (unsupervised) instead of the "
                          "clerical defaults")
     fl.add_argument("--em-iters", type=int, default=20)
+    fl.add_argument("--block", action="append", dest="blocks",
+                    default=None, metavar="KEY_EXPR",
+                    help="blocking rule as a SQL key expression over the "
+                         "record columns; repeat the flag for a "
+                         "Splink-style rule UNION (candidates deduped "
+                         "before scoring). Default: the 'block' column")
 
     rp = sub.add_parser("repl", help="interactive query/insert/delete loop")
     rp.add_argument("--dict", required=True)
@@ -290,6 +307,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"terms": d.count(), "files": args.target_files}))
         return 0
 
+    if args.cmd == "compact-index":
+        from liblevenshtein_rust_spark.operators.substring import (
+            compact_substring_index)
+        idx = spark.read.parquet(args.index)
+        out = compact_substring_index(idx, path=args.index,
+                                      num_partitions=args.partitions)
+        print(json.dumps({"rows": out.count(),
+                          "partitions": out.rdd.getNumPartitions(),
+                          "index": args.index}))
+        return 0
+
     if args.cmd == "dedup":
         from pyspark.sql import functions as F
         from liblevenshtein_rust_spark.operators.dedup import (
@@ -357,12 +385,14 @@ def main(argv: list[str] | None = None) -> int:
             fs_link)
         recs = spark.read.parquet(args.input)
         clusters = fs_link(recs, threshold_milli=args.threshold_milli,
-                           em=args.em, em_iters=args.em_iters)
+                           em=args.em, em_iters=args.em_iters,
+                           blocks=args.blocks)
         clusters.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
         summary = {"records": recs.count(),
                    "clusters": out.select("entity_id").distinct().count(),
                    "weights": "em" if args.em else "clerical",
+                   "blocks": args.blocks or ["block"],
                    "output": args.output}
         if "entity" in recs.columns:
             from liblevenshtein_rust_spark.operators.linkage_eval import (

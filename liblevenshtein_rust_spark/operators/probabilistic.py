@@ -71,23 +71,48 @@ def _quant_clamp(x: float) -> float:
 class FieldSpec:
     """One comparison field: gamma column name, number of agreement
     levels (level 0 = strongest agreement), and the CASE expression (SQL
-    string over the suffixed pair columns) that assigns the level."""
+    string over the suffixed pair columns) that assigns the level.
+
+    ``null_expr`` / ``null_level`` (optional, set together): FS practice
+    (Fellegi-Sunter's "comparison not possible"; Splink's null handling)
+    treats a MISSING observation as its own agreement level, not as
+    disagreement — a pair that cannot be compared on a field carries no
+    evidence either way on it. When ``null_expr`` (a SQL boolean over the
+    suffixed pair columns, e.g. ``phone_l IS NULL OR phone_r IS NULL``)
+    is set, ``comparison_vectors`` assigns ``null_level`` BEFORE
+    evaluating ``expr`` (whose bare equality would otherwise leak nulls
+    into the ELSE/disagreement branch), ``levels`` counts the missing
+    level, EM estimates its m/u like any level (missingness independent
+    of match status converges to m ~= u, i.e. log2(m/u) ~= 0), and the
+    clerical weight convention gives it weight 0."""
     gamma: str
     levels: int
     expr: str
+    null_expr: str | None = None
+    null_level: int | None = None
+
+    def __post_init__(self):
+        if (self.null_expr is None) != (self.null_level is None):
+            raise ValueError("null_expr and null_level must be set together")
+        if self.null_level is not None and not (
+                0 <= self.null_level < self.levels):
+            raise ValueError("null_level must be a valid level index")
 
 
 def transcript_field_specs() -> list[FieldSpec]:
     """The canonical 3-field comparison for the linkage-record corpus:
-    name at exact / d<=2 / disagree, city exact, phone exact."""
+    name at exact / d<=2 / disagree, city exact, phone exact / disagree /
+    missing (the corpus plants NULL phones on ``i % 11 == 0`` variants)."""
     return [
         FieldSpec("g_name", 3,
                   "CASE WHEN name_l = name_r THEN 0 "
                   "WHEN levenshtein(name_l, name_r) <= 2 THEN 1 "
                   "ELSE 2 END"),
         FieldSpec("g_city", 2, "CASE WHEN city_l = city_r THEN 0 ELSE 1 END"),
-        FieldSpec("g_phone", 2,
-                  "CASE WHEN phone_l = phone_r THEN 0 ELSE 1 END"),
+        FieldSpec("g_phone", 3,
+                  "CASE WHEN phone_l = phone_r THEN 0 ELSE 1 END",
+                  null_expr="phone_l IS NULL OR phone_r IS NULL",
+                  null_level=2),
     ]
 
 
@@ -98,27 +123,74 @@ def block_candidate_pairs(
     id_col: str = "rec_id",
     payload_cols: tuple[str, ...] = ("name", "city", "phone"),
     extra_cols: tuple[str, ...] = (),
+    blocks: list[str] | None = None,
 ) -> DataFrame:
-    """All intra-block record pairs (id_l < id_r), columns suffixed
-    _l/_r. One hash-partitioned self-equi-join on the blocking key —
-    the north rule's "candidate pairs at a fixed blocking key"."""
-    keep = [id_col, block_col, *payload_cols, *extra_cols]
-    left = records.select(
-        [F.col(c).alias(c if c == block_col else f"{c}_l") for c in keep])
-    right = records.select(
-        [F.col(c).alias(c if c == block_col else f"{c}_r") for c in keep])
-    return (
-        left.join(right, block_col)
-        .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
-    )
+    """All candidate record pairs (id_l < id_r), columns suffixed _l/_r.
+
+    Single-rule form (default): one hash-partitioned self-equi-join on
+    ``block_col`` — the north rule's "candidate pairs at a fixed
+    blocking key". The key column rides along in the output.
+
+    Multi-rule form: ``blocks`` is a list of SQL key expressions over the
+    record columns (Splink-style blocking-rule union; the reference's
+    multiple-backend-over-one-term-set idea). Candidates are the UNION of
+    each rule's intra-key pairs, deduplicated on the id pair before any
+    gamma/scoring work — a pair found by several rules is compared once.
+    Rows whose key expression is NULL generate no pairs under that rule
+    (standard FS practice: an unobserved blocking key blocks nothing;
+    this also mirrors the equi-join's own null-rejecting semantics while
+    keeping null rows out of the shuffle entirely).
+
+    Scale shape: one self-equi-join per rule on its key (each
+    hash-partitioned, AQE-skew-handled, runtime-bloom-eligible like every
+    blocked join in this engine), then ONE dropDuplicates shuffle keyed on
+    the id pair — the same cardinality the scorer consumes, and the price
+    of not scoring cross-rule duplicates twice. Nothing materializes
+    beyond the candidate set the union of rules already implies."""
+    if blocks is None:
+        keep = [id_col, block_col, *payload_cols, *extra_cols]
+        left = records.select(
+            [F.col(c).alias(c if c == block_col else f"{c}_l") for c in keep])
+        right = records.select(
+            [F.col(c).alias(c if c == block_col else f"{c}_r") for c in keep])
+        return (
+            left.join(right, block_col)
+            .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
+        )
+    if not blocks:
+        raise ValueError("blocks must be a non-empty list of key exprs")
+    keep = [id_col, *payload_cols, *extra_cols]
+    out = None
+    for rule in blocks:
+        keyed = (records
+                 .withColumn("_bk", F.expr(rule))
+                 .where(F.col("_bk").isNotNull()))
+        left = keyed.select(
+            "_bk", *[F.col(c).alias(f"{c}_l") for c in keep])
+        right = keyed.select(
+            "_bk", *[F.col(c).alias(f"{c}_r") for c in keep])
+        p = (left.join(right, "_bk")
+             .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
+             .drop("_bk"))
+        out = p if out is None else out.unionByName(p)
+    if len(blocks) > 1:
+        out = out.dropDuplicates([f"{id_col}_l", f"{id_col}_r"])
+    return out
 
 
 def comparison_vectors(pairs: DataFrame,
                        specs: list[FieldSpec]) -> DataFrame:
-    """Attach one integer gamma column per field (codegen CASE exprs)."""
+    """Attach one integer gamma column per field (codegen CASE exprs).
+    Fields with a declared missing level test ``null_expr`` FIRST, so a
+    null observation lands on its own level instead of leaking into the
+    base expression's ELSE/disagreement branch."""
     out = pairs
     for s in specs:
-        out = out.withColumn(s.gamma, F.expr(s.expr).cast("int"))
+        expr = s.expr
+        if s.null_expr is not None:
+            expr = (f"CASE WHEN {s.null_expr} THEN {s.null_level} "
+                    f"ELSE ({s.expr}) END")
+        out = out.withColumn(s.gamma, F.expr(expr).cast("int"))
     return out
 
 
@@ -135,16 +207,28 @@ def pattern_counts(gammas: DataFrame, specs: list[FieldSpec]) -> DataFrame:
 
 def default_init(specs: list[FieldSpec]) -> tuple[float, dict, dict]:
     """Fixed deterministic EM starting point (shared with the SQL twin):
-    lambda = 0.5; m mass concentrated on agreement, u on disagreement."""
+    lambda = 0.5; m mass concentrated on agreement, u on disagreement.
+    Fields with a declared missing level start it at equal small mass in
+    m AND u (an uninformative prior — missingness initially carries no
+    match evidence; EM moves it from the data)."""
     inits3 = ((0.6, 0.3, 0.1), (0.1, 0.2, 0.7))
     inits2 = ((0.9, 0.1), (0.2, 0.8))
-    m = {s.gamma: list(inits3[0] if s.levels == 3 else inits2[0])
-         for s in specs}
-    u = {s.gamma: list(inits3[1] if s.levels == 3 else inits2[1])
-         for s in specs}
+    inits_null3 = ((0.7, 0.2, 0.1), (0.15, 0.75, 0.1))
+    m, u = {}, {}
     for s in specs:
-        if s.levels not in (2, 3):
+        if s.null_level is not None:
+            if s.levels != 3 or s.null_level != 2:
+                raise ValueError("default_init supports missing levels "
+                                 "only as level 2 of a 3-level field")
+            pick = inits_null3
+        elif s.levels == 3:
+            pick = inits3
+        elif s.levels == 2:
+            pick = inits2
+        else:
             raise ValueError("default_init supports 2- or 3-level fields")
+        m[s.gamma] = list(pick[0])
+        u[s.gamma] = list(pick[1])
     return 0.5, m, u
 
 
@@ -265,10 +349,13 @@ def em_weights_milli(m: dict, u: dict,
 # (name d<=2, city+phone both corrupted: 7-2-4 = +1) still outscores the
 # best non-match pattern (name disagree, city+phone coincidentally equal:
 # -8+2+3 = -3) — threshold 0 separates perfectly on the planted corpus.
+# The phone MISSING level (null on either side) carries weight 0: no
+# evidence either way (worst true match with a missing phone: 7-2+0 = +5;
+# best non-match with one: -8+2+0 = -6 — separation preserved).
 DEFAULT_WEIGHTS: dict[str, list[int]] = {
     "g_name": [8, 7, -8],
     "g_city": [2, -2],
-    "g_phone": [3, -4],
+    "g_phone": [3, -4, 0],
 }
 
 
@@ -359,11 +446,16 @@ def fs_link(
     threshold_milli: int = 0,
     em: bool = False,
     em_iters: int = 20,
+    blocks: list[str] | None = None,
 ) -> DataFrame:
     """End-to-end FS linkage over (rec_id, block, name, city, phone[,
     entity]) records: blocked pairs -> gammas -> weights -> threshold ->
     connected components. Returns (rec_id, entity_id) for every record
     (unmatched records label themselves).
+
+    ``blocks``: optional list of blocking-rule key expressions — the
+    multi-rule union of ``block_candidate_pairs(blocks=...)``; default is
+    the single ``block`` column.
 
     ``em=True`` replaces the clerical ``weights`` with unsupervised
     EM-estimated milli weights (pattern_counts -> em_fit ->
@@ -373,7 +465,7 @@ def fs_link(
     from liblevenshtein_rust_spark.operators.cluster import (
         connected_components)
     specs = specs or transcript_field_specs()
-    pairs = block_candidate_pairs(records)
+    pairs = block_candidate_pairs(records, blocks=blocks)
     gv = comparison_vectors(pairs, specs)
     scale = 1000
     if em:

@@ -167,6 +167,82 @@ def incremental_substring_index(index: DataFrame, *, seg_lens: list[int],
     return out
 
 
+def compact_substring_index(
+    index: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    path: str | None = None,
+    table: str | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Rewrite an incrementally-maintained substring index into a fresh
+    physical layout — the ``SuffixAutomaton::compact`` analog
+    (/root/reference/src/dictionary/suffix_automaton.rs:640). A long-lived
+    index maintained via ``incremental_substring_index`` accumulates
+    union + anti-join lineage (and, on disk, dead rows shadowed by the
+    anti-joins) batch after batch; compaction pays ONE linear shuffle to
+    restore the freshly-built shape, after which queries are
+    plan-for-plan identical to a from-scratch ``build_substring_index``.
+
+    Three layouts, least to most durable:
+
+    * default (in-session): hash-repartition on ``_bkey`` (the probe-join
+      key) + eager localCheckpoint — lineage truncated, dead rows gone,
+      partitioning aligned with the consuming join. ``num_partitions``
+      defaults to ``spark.sql.shuffle.partitions``.
+    * ``path=``: rewrite as parquet, clustered and sorted by ``_bkey``
+      (row-group locality for the probe join), then re-read. Safe to
+      target the index's own backing path: rows are eagerly materialized
+      before the overwrite (same discipline as the CLI ``clear``).
+    * ``table=`` + ``buckets=``: saveAsTable bucketed+sorted by
+      ``_bkey`` — the deployment form. A probe join on ``_bkey`` then
+      plans with NO Exchange on the index side (only the small query
+      side shuffles to match), the bucket-local property
+      plans/pipeline.py uses for its keyed stages; at 100 TB this is
+      what keeps repeated query workloads from re-shuffling the index
+      every run.
+
+    Results are bit-identical before and after compaction (tested via
+    rebuild equality and via the driver query ``incremental_substring``,
+    whose chain is build -> maintain -> compact -> query == full-rebuild
+    oracle)."""
+    spark = index.sparkSession
+    n = int(num_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions"))
+    if table is not None:
+        if buckets is None:
+            raise ValueError("table= compaction requires buckets=")
+        snap = index.localCheckpoint(eager=True)  # source may be the table
+        # Reclaim the target: a compaction rewrite owns its table, and a
+        # managed-table LOCATION can outlive its metastore entry (fresh
+        # metastore over an old warehouse dir — e.g. a died writer or a
+        # rebuilt catalog), which blocks saveAsTable with
+        # LOCATION_ALREADY_EXISTS. Drop the catalog entry if present
+        # (this clears the location too); if the location alone
+        # survives, it is by construction an orphan of the table being
+        # rewritten — clear it via the Hadoop FS API.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        db, _, tbl = table.rpartition(".")
+        db = db or spark.catalog.currentDatabase()
+        loc = (spark.catalog.getDatabase(db).locationUri.rstrip("/")
+               + "/" + tbl.lower())
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(loc)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        (snap.repartition(buckets, "_bkey")
+             .write.mode("overwrite").format("parquet")
+             .bucketBy(buckets, "_bkey").sortBy("_bkey")
+             .saveAsTable(table))
+        return spark.read.table(table)
+    if path is not None:
+        snap = index.localCheckpoint(eager=True)  # source may be this path
+        (snap.repartition(n, "_bkey").sortWithinPartitions("_bkey")
+             .write.mode("overwrite").parquet(path))
+        return spark.read.parquet(path)
+    return index.repartition(n, "_bkey").localCheckpoint(eager=True)
+
+
 def fuzzy_substring_join(
     queries: DataFrame,
     docs: DataFrame,

@@ -274,14 +274,17 @@ def synthetic_linkage_records(spark: SparkSession, n_entities: int) -> DataFrame
       so matches agree ~6/7 of the time while non-matches agree ~1/8
       (the m/u separation EM has to find).
     - ``phone``: 10 digits of ``(i*2654435761 + 99991) % 1e10``; ``#1``
-      bumps one digit (mod 10, so it always changes) when ``i % 3 = 0``.
+      bumps one digit (mod 10, so it always changes) when ``i % 3 = 0``,
+      and is NULL (an unobserved phone — exercising the FS missing
+      gamma level, FieldSpec.null_level) when ``i % 11 = 0``; the null
+      takes precedence over the digit bump.
     - ``block``: ``i div 5`` — the fixed blocking key of the north rule;
       candidate pairs are generated within blocks only, giving every
       block 45 record pairs of which 5 are true matches.
 
-    The corruption residues (2, 3, 7) are pairwise coprime so every
-    agreement-pattern combination occurs, exercising all comparison
-    vectors EM iterates over.
+    The corruption residues (2, 3, 7, 11) are pairwise coprime so every
+    agreement-pattern combination occurs — including the phone MISSING
+    patterns — exercising all comparison vectors EM iterates over.
     """
     if n_entities < 1:
         raise ValueError("n_entities must be >= 1")
@@ -309,7 +312,8 @@ def synthetic_linkage_records(spark: SparkSession, n_entities: int) -> DataFrame
         F.expr("CASE WHEN i % 2 = 0 THEN substr(code,1,p1-1) || "
                "substr(code,p1+1) ELSE code END").alias("name"),
         F.expr("CASE WHEN i % 7 = 0 THEN cityc ELSE city0 END").alias("city"),
-        F.expr("CASE WHEN i % 3 = 0 THEN substr(phone0,1,pp-1) || "
+        F.expr("CASE WHEN i % 11 = 0 THEN NULL "
+               "WHEN i % 3 = 0 THEN substr(phone0,1,pp-1) || "
                "cast((cast(substr(phone0,pp,1) as int) + 1) % 10 as string) "
                "|| substr(phone0,pp+1) ELSE phone0 END").alias("phone"),
         F.col("code").alias("entity"))

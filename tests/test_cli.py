@@ -281,7 +281,13 @@ def test_cli_fs_link_clerical_and_em(spark, tmp_path, capsys):
 
     inp = str(tmp_path / "recs")
     synthetic_linkage_records(spark, 300).write.parquet(inp)
-    for extra, wname in (([], "clerical"), (["--em"], "em")):
+    # third shape: multi-rule blocking union (block OR city) — the extra
+    # cross-block same-city candidates all score below threshold, so the
+    # result is unchanged and still perfect (rule unions add recall
+    # headroom, never duplicate or corrupt scoring)
+    for extra, wname in (([], "clerical"), (["--em"], "em"),
+                         (["--block", "block", "--block", "city"],
+                          "clerical")):
         out = str(tmp_path / f"clusters_{wname}")
         rc = main(["fs-link", "--input", inp, "--output", out] + extra)
         assert rc == 0
@@ -292,3 +298,33 @@ def test_cli_fs_link_clerical_and_em(spark, tmp_path, capsys):
         got = spark.read.parquet(out)
         assert got.columns == ["rec_id", "entity_id"]
         assert got.count() == 600
+
+
+def test_cli_compact_index(spark, tmp_path, capsys):
+    """compact-index rewrites a maintained substring-index parquet in
+    place: same rows, fresh clustered layout (SuffixAutomaton::compact
+    analog on the ops surface)."""
+    from liblevenshtein_rust_spark.cli import main
+    from liblevenshtein_rust_spark.operators.substring import (
+        build_substring_index, incremental_substring_index)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "a slow scan of the table")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame([(3, "fresh scan arrives")],
+                                  ["doc_id", "text"])
+    dels = spark.createDataFrame([(1,)], ["doc_id"])
+    idx = incremental_substring_index(
+        build_substring_index(docs, [3, 4]), seg_lens=[3, 4],
+        upserts=batch, delete_ids=dels)
+    p = str(tmp_path / "subidx.parquet")
+    idx.write.parquet(p)
+    before = sorted((r._did, r._p, r._len, r._bkey)
+                    for r in spark.read.parquet(p).collect())
+    assert main(["compact-index", "--index", p, "--partitions", "2"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rows"] == len(before)
+    assert out["partitions"] == 2
+    after = sorted((r._did, r._p, r._len, r._bkey)
+                   for r in spark.read.parquet(p).collect())
+    assert after == before

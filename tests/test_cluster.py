@@ -295,7 +295,7 @@ def test_cohesion_chain_triangle_singleton(spark):
 
 
 def test_cohesion_sparse_flag_long_chain(spark):
-    # 5-node chain: density 4 edges / C(5,2)=10 -> 800? no: 2000*4/20=400
+    # 5-node chain: 2000*4/(5*4) = 400
     edges = [(f"n{i}", f"n{i+1}", 1) for i in range(4)]
     got = _cohesion(spark, edges, [f"n{i}" for i in range(5)])
     (row,) = got.values()
@@ -339,3 +339,40 @@ def test_cohesion_random_graphs_vs_pandas(spark):
         nn = n_nodes[e]
         exp_d = 1000 if nn <= 1 else (2000 * n_edges.get(e, 0)) // (nn * (nn - 1))
         assert row["density_milli"] == exp_d
+
+
+def test_cohesion_duplicate_orientations_count_once(spark):
+    """Foreign pair tables carrying both orientations and repeated rows
+    must not inflate n_edges / density (ADVICE r4: the contract used to
+    live only in the docstring)."""
+    from liblevenshtein_rust_spark.operators.cluster import cluster_cohesion
+    cl = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], ["term", "entity_id"])
+    pairs = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1),          # both orientations
+         ("b", "c", 2), ("b", "c", 3)],         # repeated, weights differ
+        ["term_a", "term_b", "distance"])
+    (row,) = cluster_cohesion(cl, pairs, weight_col="distance").collect()
+    assert row.n_edges == 2                      # not 4
+    # 2000*2/(3*2) = 666; duplicates kept the conservative (max) weight
+    assert row.density_milli == 666
+    assert row.max_weight == 3
+
+
+def test_cohesion_giant_cluster_no_int32_overflow(spark):
+    """ADVICE r4 (medium): n_nodes*(n_nodes-1) in int32 raises
+    ARITHMETIC_OVERFLOW under ANSI mode past 46,341 nodes — exactly the
+    over-merged giants the audit exists to flag. The arithmetic is now
+    int64; a 50k-node near-empty cluster must audit cleanly."""
+    from pyspark.sql import functions as F
+    from liblevenshtein_rust_spark.operators.cluster import cluster_cohesion
+    n = 50_000
+    cl = (spark.range(n)
+          .select(F.col("id").alias("term"),
+                  F.lit(0).cast("long").alias("entity_id")))
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["term_a", "term_b"])
+    (row,) = cluster_cohesion(cl, pairs).collect()
+    assert row.n_nodes == n
+    assert row.n_edges == 2
+    assert row.density_milli == 0          # floor(4000 / 2,499,950,000)
+    assert row.sparse_flag == 1

@@ -53,12 +53,17 @@ def test_comparison_vector_levels(spark, gammas):
     # non-matches never look name-similar
     nm = gammas.where("entity_l != entity_r")
     assert nm.where("g_name != 2").count() == 0
-    # corruption rates: city disagrees on ~1/7 of matches,
-    # phone on ~1/3 (exact counts from the planted residues)
+    # corruption rates: city disagrees on ~1/7 of matches, phone on ~1/3
+    # minus the planted-NULL overlap; the NULL rows (i % 11 == 0, which
+    # takes precedence over the digit bump) land on the MISSING level,
+    # never on disagreement (exact counts from the planted residues)
     n_city = m.where("g_city = 1").count()
     n_phone = m.where("g_phone = 1").count()
+    n_missing = m.where("g_phone = 2").count()
     assert n_city == len([i for i in range(N_ENT) if i % 7 == 0])
-    assert n_phone == len([i for i in range(N_ENT) if i % 3 == 0])
+    assert n_phone == len([i for i in range(N_ENT)
+                           if i % 3 == 0 and i % 11 != 0])
+    assert n_missing == len([i for i in range(N_ENT) if i % 11 == 0])
 
 
 def _numpy_em(rows, specs, n_iter=20):
@@ -114,9 +119,17 @@ def test_em_recovers_planted_parameters(spark, gammas):
     # city m: matches agree unless i % 7 == 0
     true_m_city = 1 - len([i for i in range(N_ENT) if i % 7 == 0]) / N_ENT
     assert abs(m["g_city"][0] - true_m_city) < 0.05
-    # phone m: matches agree unless i % 3 == 0
-    true_m_phone = 1 - len([i for i in range(N_ENT) if i % 3 == 0]) / N_ENT
+    # phone m: matches agree unless corrupted (i % 3 == 0) or
+    # unobserved (i % 11 == 0, the missing level)
+    true_m_phone = len([i for i in range(N_ENT)
+                        if i % 3 != 0 and i % 11 != 0]) / N_ENT
     assert abs(m["g_phone"][0] - true_m_phone) < 0.05
+    # the missing level's m and u both track the planted null rate
+    # (missingness is independent of match status), so its log2(m/u)
+    # evidence is near zero — the FS "comparison not possible" semantics
+    true_missing = len([i for i in range(N_ENT) if i % 11 == 0]) / N_ENT
+    assert abs(m["g_phone"][2] - true_missing) < 0.05
+    assert abs(np.log2(m["g_phone"][2] / u["g_phone"][2])) < 0.8
     # non-matches essentially never agree on name
     assert u["g_name"][2] > 0.99
 
@@ -245,3 +258,86 @@ def test_fs_link_em_weights_reach_perfect_f1(spark, records):
     clerical = P.fs_link(records)
     assert (sorted(map(tuple, pred.collect()))
             == sorted(map(tuple, clerical.collect())))
+
+
+# --- multi-rule blocking (Splink-style blocking-rule union, r5) ---------
+
+def test_multi_rule_blocking_unions_and_dedupes(spark):
+    """blocks=[...] must (a) include cross-rule candidates a single block
+    misses, (b) compare each pair exactly once even when several rules
+    propose it, and (c) generate no pairs from NULL blocking keys."""
+    recs = spark.createDataFrame(
+        [("r1", "b1", "alice", "nyc", "111"),
+         ("r2", "b1", "alicia", "sfo", "111"),   # same block AND same phone
+         ("r3", "b2", "bob", "nyc", None),       # phone unobserved
+         ("r4", "b2", "bobby", "nyc", "222"),
+         ("r5", "b3", "carol", "sfo", "333")],
+        ["rec_id", "block", "name", "city", "phone"])
+    single = P.block_candidate_pairs(recs, blocks=["block"])
+    multi = P.block_candidate_pairs(recs, blocks=["block", "city"])
+    ids = lambda df: {(r.rec_id_l, r.rec_id_r) for r in df.collect()}
+    s, u = ids(single), ids(multi)
+    # cross-rule candidate: r1 (b1, nyc) with r3/r4 (b2, nyc)
+    assert ("r1", "r3") not in s and ("r1", "r3") in u
+    assert ("r1", "r4") in u
+    assert s <= u
+    # exactly-once despite (r3, r4) matching BOTH rules
+    assert multi.count() == len(u)
+    # null keys generate no pairs under that rule (phone-only blocking:
+    # r3's null phone never blocks with anything)
+    phone_only = P.block_candidate_pairs(recs, blocks=["phone"])
+    assert ids(phone_only) == {("r1", "r2")}
+    # a key EXPRESSION works too (first 3 name chars)
+    pref = P.block_candidate_pairs(recs, blocks=["substr(name, 1, 3)"])
+    assert ("r3", "r4") in ids(pref)
+    with pytest.raises(ValueError):
+        P.block_candidate_pairs(recs, blocks=[])
+
+
+def test_multi_rule_blocking_matches_bruteforce_union(spark, records):
+    """On the linkage corpus, blocks=["block", "city"] must equal the
+    brute-force union of the two rules' pair sets."""
+    multi = P.block_candidate_pairs(records, blocks=["block", "city"])
+    got = {(r.rec_id_l, r.rec_id_r) for r in
+           multi.select("rec_id_l", "rec_id_r").collect()}
+    rows = records.select("rec_id", "block", "city").collect()
+    exp = set()
+    for a in rows:
+        for b in rows:
+            if a.rec_id < b.rec_id and (a.block == b.block
+                                        or a.city == b.city):
+                exp.add((a.rec_id, b.rec_id))
+    assert got == exp
+
+
+# --- missing-observation gamma level (FS null semantics, r5) ------------
+
+def test_null_gamma_level_not_disagreement(spark):
+    """A pair with an unobserved phone must land on the MISSING level
+    (its own gamma value, weight 0), not in the disagreement branch the
+    bare CASE ELSE used to absorb it into."""
+    recs = spark.createDataFrame(
+        [("r1", "b", "alice", "nyc", "111"),
+         ("r2", "b", "alice", "nyc", None),
+         ("r3", "b", "alice", "nyc", "222")],
+        ["rec_id", "block", "name", "city", "phone"])
+    specs = P.transcript_field_specs()
+    g = P.comparison_vectors(P.block_candidate_pairs(recs), specs)
+    got = {(r.rec_id_l, r.rec_id_r): r.g_phone for r in g.collect()}
+    assert got[("r1", "r2")] == 2      # missing, NOT disagree
+    assert got[("r2", "r3")] == 2
+    assert got[("r1", "r3")] == 1      # observed disagreement
+    sc = P.score_pairs(g, specs)
+    w = {(r.rec_id_l, r.rec_id_r): r.weight_milli for r in sc.collect()}
+    # name+city agree (8+2), phone contributes 0 when missing, -4 observed
+    assert w[("r1", "r2")] == 10_000
+    assert w[("r1", "r3")] == 6_000
+
+
+def test_fieldspec_null_validation():
+    with pytest.raises(ValueError, match="set together"):
+        P.FieldSpec("g_x", 3, "CASE WHEN 1=1 THEN 0 ELSE 1 END",
+                    null_expr="x_l IS NULL")
+    with pytest.raises(ValueError, match="valid level"):
+        P.FieldSpec("g_x", 3, "CASE WHEN 1=1 THEN 0 ELSE 1 END",
+                    null_expr="x_l IS NULL", null_level=3)

@@ -272,3 +272,89 @@ def test_index_coverage_validated(spark):
     with pytest.raises(ValueError, match="index_lens"):
         fuzzy_substring_join(qdf, docs, n=0, all_positions=True,
                              doc_index=idx)
+
+
+# --- compaction (SuffixAutomaton::compact analog, suffix_automaton.rs:640) ---
+
+def _maintained_index(spark, lens):
+    """build -> insert -> replace+delete: an index with accumulated
+    union/anti-join lineage, plus the final corpus it reflects."""
+    from liblevenshtein_rust_spark.operators.substring import (
+        build_substring_index, incremental_substring_index)
+    docs0 = spark.createDataFrame(DOCS[:4], ["doc_id", "text"])
+    add = spark.createDataFrame(DOCS[4:], ["doc_id", "text"])
+    repl = spark.createDataFrame([(2, "a scan replaced wholesale")],
+                                 ["doc_id", "text"])
+    dels = spark.createDataFrame([(3,)], ["doc_id"])
+    idx = build_substring_index(docs0, lens)
+    idx = incremental_substring_index(idx, seg_lens=lens, upserts=add)
+    idx = incremental_substring_index(idx, seg_lens=lens, upserts=repl,
+                                      delete_ids=dels)
+    final_rows = [(i, t) for i, t in DOCS if i not in (2, 3)] + \
+        [(2, "a scan replaced wholesale")]
+    return idx, spark.createDataFrame(final_rows, ["doc_id", "text"])
+
+
+def test_compact_index_identical_rows_and_results(spark, tmp_path):
+    """All three compaction layouts must preserve the index rows and the
+    query results bit-for-bit, while truncating the maintenance lineage
+    (no Union / anti-join left in the compacted plan)."""
+    from liblevenshtein_rust_spark.operators.substring import (
+        build_substring_index, compact_substring_index,
+        fuzzy_substring_join)
+    queries = ["scan", "sacn", "phrse"]
+    n = 1
+    lens = _seg_lens_for(queries, n)
+    idx, final_docs = _maintained_index(spark, lens)
+    rebuilt = build_substring_index(final_docs, lens)
+    key = lambda r: (r._did, r._p, r._len, r._bkey)
+    exp_rows = sorted(map(key, rebuilt.collect()))
+    qdf = spark.createDataFrame([(q, q) for q in queries], ["q_id", "q_text"])
+    rk = lambda r: (r.q_text, r.doc_id, r.pos, r.distance)
+    exp_res = sorted(map(rk, fuzzy_substring_join(
+        qdf, final_docs, n=n, all_positions=True).collect()))
+    assert exp_res  # non-degenerate
+
+    in_mem = compact_substring_index(idx, num_partitions=4)
+    on_disk = compact_substring_index(idx, path=str(tmp_path / "subidx"),
+                                      num_partitions=4)
+    spark.sql("CREATE DATABASE IF NOT EXISTS lls_test_compact")
+    as_table = compact_substring_index(
+        idx, table="lls_test_compact.subidx", buckets=4)
+    for compacted in (in_mem, on_disk, as_table):
+        assert sorted(map(key, compacted.collect())) == exp_rows
+        got = sorted(map(rk, fuzzy_substring_join(
+            qdf, final_docs, n=n, all_positions=True,
+            doc_index=compacted, index_lens=lens).collect()))
+        assert got == exp_res
+        plan = compacted._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan, plan
+        assert "LeftAnti" not in plan, plan
+
+
+def test_compact_index_bucketed_probe_join_no_index_exchange(spark):
+    """Deployment layout: the bucketed-table compaction must let a probe
+    join on _bkey plan with NO Exchange on the (huge) index side — only
+    the small query side shuffles to match the bucket spec."""
+    from pyspark.sql import functions as F
+    from liblevenshtein_rust_spark.operators.substring import (
+        compact_substring_index)
+    lens = [3, 4]
+    idx, _ = _maintained_index(spark, lens)
+    spark.sql("CREATE DATABASE IF NOT EXISTS lls_test_compact")
+    tbl = compact_substring_index(
+        idx, table="lls_test_compact.subidx_probe", buckets=4)
+    probe = spark.createDataFrame(
+        [("q1", 0, "sca"), ("q2", 1, "can")], ["_qid", "_s0", "_seg"]
+    ).select("_qid", "_s0", F.xxhash64("_seg").alias("_bkey"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = probe.join(tbl, "_bkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # exactly one Exchange: the probe side conforming to the buckets
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
