@@ -1,8 +1,15 @@
-"""Run one dedup-family scaling draw (2-core leg then 8-core leg, each a
-fresh pinned JVM via bench.py --scale-job-dedup) and append a labeled
-record to BENCH/SCALING_HISTORY.jsonl — the isolated per-leg protocol from
+"""Run one dedup-family scaling draw and append a labeled record to
+BENCH/SCALING_HISTORY.jsonl — the isolated per-leg protocol from
 BENCH/BASELINE.md for banking clean-window k=256 era draws without paying
 a full --scaling invocation.
+
+Legs run 8-core, then 2-core, then 8-core again (each a fresh pinned JVM
+via bench.py --scale-job-dedup): the two 8-core legs BRACKET the 2-core
+one, so their spread measures whether the box stayed stable across the
+draw — a self-validating draw, not a point sample. Efficiency is
+reported against the MEAN of the two 8-core legs; the record carries
+both legs and the spread so a window shift mid-draw is visible, not
+averaged away silently.
 
 Usage: python scripts/dedup_scaling_draw.py "<label>"
 """
@@ -29,19 +36,27 @@ def leg(cores: str) -> dict:
 
 def main() -> None:
     label = sys.argv[1] if len(sys.argv) > 1 else "dedup-only draw"
-    legs = {c: leg(c) for c in ("2", "8")}
-    assert legs["2"]["survivors"] == legs["8"]["survivors"], legs
-    eff = round((legs["2"]["seconds"] / legs["8"]["seconds"]) / 4, 3)
-    probes = {f"dedup_{c}": legs[c].get("probe_8core_sec") for c in legs}
+    l8a = leg("8")
+    l2 = leg("2")
+    l8b = leg("8")
+    assert l8a["survivors"] == l2["survivors"] == l8b["survivors"]
+    mean8 = (l8a["seconds"] + l8b["seconds"]) / 2
+    spread8 = abs(l8a["seconds"] - l8b["seconds"]) / mean8
+    eff = round((l2["seconds"] / mean8) / 4, 3)
+    probes = {"dedup_8a": l8a.get("probe_8core_sec"),
+              "dedup_2": l2.get("probe_8core_sec"),
+              "dedup_8b": l8b.get("probe_8core_sec")}
     rec = {
         "label": label,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "dedup_eff_2_to_8": eff,
         "era": "k256",
-        "dedup_legs_steady": {c: legs[c]["seconds"] for c in legs},
+        "dedup_legs_steady": {"2": l2["seconds"], "8": round(mean8, 3),
+                              "8a": l8a["seconds"], "8b": l8b["seconds"]},
+        "bracket_spread_pct": round(100 * spread8, 1),
         "probes": probes,
         "probe_worst": max(v for v in probes.values() if v is not None),
-        "survivors": legs["2"]["survivors"],
+        "survivors": l2["survivors"],
     }
     with open(os.path.join(REPO, "BENCH/SCALING_HISTORY.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")
