@@ -38,6 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: hypervisor-steal threshold (percent of ALL-vCPU time during a steady
+#: leg) above which a draw's window is recorded as degraded. Calibrated
+#: r5 by interleaved same-code legs: dedup 8-core read 82.0 s at 0.046%
+#: steal and 104-129 s at 0.7-1.8% (identical code/input/survivors);
+#: 0.25% of 32 vCPUs ~= 1% of an 8-core leg's pinned cycles.
+STEAL_DEGRADED_PCT = 0.25
+
 HEADLINE = [
     "fuzzy_pairs_turns_d1",
     "fuzzy_pairs_turns_d2",
@@ -123,6 +130,33 @@ def _window_probe(n_procs: int = 8, reps: int = 60,
         maxima.append(max(times))
     maxima.sort()
     return round(maxima[len(maxima) // 2], 3)
+
+
+def _read_proc_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu
+    line. This box is a guest VM: steal is time the hypervisor ran OTHER
+    tenants while this guest's vCPUs were runnable — the direct,
+    quantitative form of the "box weather" the r4 narrative could only
+    infer from co-degradation of unchanged jobs. Recorded around every
+    steady leg so degraded draws carry their own cause."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]):
+    """Steal as % of ALL-vCPU time between two _read_proc_stat readings
+    (None if /proc/stat is unreadable or no time elapsed). On a pinned
+    8-of-32-core leg a given steal burst is diluted ~4x by the idle
+    cores — compare readings against each other, not against 100."""
+    (s0, t0), (s1, t1) = before, after
+    if t1 <= t0:
+        return None
+    return round(100.0 * (s1 - s0) / (t1 - t0), 3)
 
 
 def _probe_reference() -> float | None:
@@ -354,10 +388,12 @@ def run_default() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     n_draws: dict[str, int] = {}
+    q_steal: dict[str, float] = {}
     total = cold_total = 0.0
     for name in HEADLINE:
         spark.catalog.clearCache()
         gc.collect()
+        st0 = _read_proc_stat()
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
         cold_dt = time.time() - t0
@@ -378,11 +414,17 @@ def run_default() -> None:
         timings[name] = round(dt, 3)
         cold[name] = round(cold_dt, 3)
         n_draws[name] = len(draws)
+        # hypervisor steal across this query's cold+steady draws: the
+        # per-query window-health bit (see STEAL_DEGRADED_PCT) — lets a
+        # reader tell a regressed query from a stolen window row by row
+        steal = _steal_pct(st0, _read_proc_stat())
+        if steal is not None:
+            q_steal[name] = steal
         total += dt
         cold_total += cold_dt
         print(f"# {name}: steady {dt:.2f}s (median of {len(draws)}: "
               f"{[round(x, 2) for x in sorted(draws)]}) "
-              f"cold {cold_dt:.2f}s rows={n}",
+              f"cold {cold_dt:.2f}s rows={n} steal={steal}%",
               file=sys.stderr, flush=True)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
@@ -397,6 +439,8 @@ def run_default() -> None:
         "window_probe_sec": probe,
         "window_probe_clean_ref": probe_ref,
         "window_degraded": probe_degraded,
+        "query_steal_pct": q_steal,
+        "steal_worst": max(q_steal.values()) if q_steal else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
@@ -564,15 +608,18 @@ def run_scale_job_dedup(cores: str, k: int = 256) -> None:
         return dt, n_surv
 
     warm_dt, _ = once()
+    st0 = _read_proc_stat()
     d1, n_surv = once()
     d2, n2 = once()
     assert n2 == n_surv
     dt = _steady([d1, d2], warm_dt, once)
+    steal = _steal_pct(st0, _read_proc_stat())
     print(json.dumps({"cores": int(cores), "seconds": round(dt, 3),
                       "cold_seconds": round(warm_dt, 3),
                       "docs": n_docs, "survivors": n_surv,
                       "docs_per_sec": round(n_docs / dt),
-                      "probe_8core_sec": probe}))
+                      "probe_8core_sec": probe,
+                      "steal_pct": steal}))
 
 
 def run_scale_job(cores: str, k: int = 192) -> None:
@@ -609,15 +656,18 @@ def run_scale_job(cores: str, k: int = 192) -> None:
     # one warmup run (codegen compile, JIT, shuffle-service spin-up — paid
     # once per long-lived executor on a real cluster), then steady state
     warm_dt, _ = once()
+    st0 = _read_proc_stat()
     d1, n_pairs = once()
     d2, n2 = once()
     assert n2 == n_pairs
     dt = _steady([d1, d2], warm_dt, once)
+    steal = _steal_pct(st0, _read_proc_stat())
     print(json.dumps({"cores": int(cores), "seconds": round(dt, 3),
                       "cold_seconds": round(warm_dt, 3),
                       "turns": n_turns, "pairs": n_pairs,
                       "turns_per_sec": round(n_turns / dt),
-                      "probe_8core_sec": probe}))
+                      "probe_8core_sec": probe,
+                      "steal_pct": steal}))
 
 
 def run_scaling() -> None:
@@ -652,11 +702,25 @@ def run_scaling() -> None:
     probes = {f"flagship_{c}": results[c].get("probe_8core_sec")
               for c in results}
     probes.update({f"dedup_{c}": dd[c].get("probe_8core_sec") for c in dd})
+    steals = {f"flagship_{c}": results[c].get("steal_pct") for c in results}
+    steals.update({f"dedup_{c}": dd[c].get("steal_pct") for c in dd})
     probe_vals = [v for v in probes.values() if isinstance(v, (int, float))]
     ref = _probe_reference()
     worst = max(probe_vals) if probe_vals else None
-    degraded = (None if ref is None or worst is None
-                else bool(worst > 1.2 * ref))
+    steal_vals = [v for v in steals.values() if isinstance(v, (int, float))]
+    steal_worst = max(steal_vals) if steal_vals else None
+    # Primary health bit: hypervisor steal measured DURING the steady
+    # legs. Calibrated by an interleaved old/new-code experiment (r5):
+    # the dedup 8-core leg read 82.0 s at 0.046% steal and 104-129 s at
+    # 0.7-1.8% on identical code/input/survivors, while the 8-way matmul
+    # probe failed to separate those windows — steal hits barrier-heavy
+    # JVM stages ~10x harder than its raw share of cycles. Threshold
+    # 0.25% of all-vCPU time ~= 1% of an 8-core leg's pinned cycles.
+    if steal_worst is not None:
+        degraded = bool(steal_worst > STEAL_DEGRADED_PCT)
+    else:
+        degraded = (None if ref is None or worst is None
+                    else bool(worst > 1.2 * ref))
     out = {
         "metric": "scaling_efficiency_n_to_4n_cores",
         "value": round(eff_2_8, 3),
@@ -668,6 +732,8 @@ def run_scaling() -> None:
         "dedup_eff_8_to_32": round(dd_eff_8_32, 3),
         "dedup_legs": dd,
         "probes": probes,
+        "steal_pct": steals,
+        "steal_worst": steal_worst,
         "probe_worst": worst,
         "probe_clean_ref": ref,
         "window_degraded": degraded,
@@ -701,7 +767,8 @@ def _append_history(out: dict) -> None:
         # parsing; bump when the dedup corpus k or the family's code
         # changes shape (k=256 since r4 #7)
         rec["era"] = "k256"
-    for k in ("probes", "probe_worst", "probe_clean_ref", "window_degraded"):
+    for k in ("probes", "steal_pct", "probe_worst", "probe_clean_ref",
+              "window_degraded"):
         if out.get(k) is not None:
             rec[k] = out[k]
     with open("BENCH/SCALING_HISTORY.jsonl", "a") as f:
@@ -811,8 +878,14 @@ def _history_table() -> str:
             "across eleven earlier draws; dedup 94-106 s vs 80.9 s) "
             "while 2-core and 32-core legs stayed in range — the "
             "co-degradation of an UNCHANGED flagship pins it on the "
-            "box, not the code; per-draw window probes (the `window "
-            "probe` column) now record that state per invocation. "
+            "box, not the code. r5 made the cause MEASURED rather than "
+            "inferred: this guest VM's /proc/stat steal time, read "
+            "around every steady leg, is the recorded per-draw health "
+            "bit (an interleaved same-code calibration read 82.0 s at "
+            "0.046% steal vs 104-129 s at 0.7-1.8% on the same 8-core "
+            "dedup leg; threshold 0.25% of all-vCPU time ~= 1% of a "
+            "pinned 8-core leg's cycles — steal hits barrier-heavy JVM "
+            "stages ~10x harder than its raw cycle share). "
             "Per this file's own protocol the era's >=0.8 claim is "
             "gated on a median of >=3 CLEAN-WINDOW draws — degraded-"
             "window draws are reported for transparency but do not "
@@ -1094,10 +1167,13 @@ shuffle-bound, not CPU-bound, by design.
 
 if __name__ == "__main__":
     if "--probe" in sys.argv:
+        st0 = _read_proc_stat()
         p, degraded, ref = _probe_and_flag()
+        steal = _steal_pct(st0, _read_proc_stat())
         print(json.dumps({"metric": "window_probe_sec", "value": p,
                           "unit": "sec", "clean_ref": ref,
-                          "window_degraded": degraded}))
+                          "window_degraded": degraded,
+                          "steal_pct": steal}))
     elif "--kernel" in sys.argv:
         run_kernel()
     elif "--scale-job-dedup" in sys.argv:

@@ -46,6 +46,13 @@ def main() -> None:
     probes = {"dedup_8a": l8a.get("probe_8core_sec"),
               "dedup_2": l2.get("probe_8core_sec"),
               "dedup_8b": l8b.get("probe_8core_sec")}
+    steals = {"dedup_8a": l8a.get("steal_pct"),
+              "dedup_2": l2.get("steal_pct"),
+              "dedup_8b": l8b.get("steal_pct")}
+    steal_vals = [v for v in steals.values() if v is not None]
+    steal_worst = max(steal_vals) if steal_vals else None
+    sys.path.insert(0, REPO)
+    from bench import STEAL_DEGRADED_PCT
     rec = {
         "label": label,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -55,7 +62,13 @@ def main() -> None:
                               "8a": l8a["seconds"], "8b": l8b["seconds"]},
         "bracket_spread_pct": round(100 * spread8, 1),
         "probes": probes,
+        "steal_pct": steals,
+        "steal_worst": steal_worst,
         "probe_worst": max(v for v in probes.values() if v is not None),
+        # per-leg hypervisor steal is the primary window-health bit
+        # (see bench.STEAL_DEGRADED_PCT calibration note)
+        "window_degraded": (None if steal_worst is None
+                            else bool(steal_worst > STEAL_DEGRADED_PCT)),
         "survivors": l2["survivors"],
     }
     with open(os.path.join(REPO, "BENCH/SCALING_HISTORY.jsonl"), "a") as f:
