@@ -791,12 +791,18 @@ def _history_table() -> str:
                         legs_txt += (f" [{dls['8a']}/{dls['8b']}, "
                                      f"±{r.get('bracket_spread_pct', '?')}%]")
                     dd = f"{dd} ({legs_txt})"
-                if r.get("window_degraded") is True:
-                    win = f"DEGRADED ({r.get('probe_worst')}s)"
-                elif r.get("window_degraded") is False:
-                    win = f"clean ({r.get('probe_worst')}s)"
+                if r.get("steal_worst") is not None:
+                    detail = f"steal {r['steal_worst']}%"
                 elif r.get("probe_worst") is not None:
-                    win = f"n/a ({r.get('probe_worst')}s)"
+                    detail = f"probe {r.get('probe_worst')}s"
+                else:
+                    detail = None
+                if r.get("window_degraded") is True:
+                    win = f"DEGRADED ({detail})" if detail else "DEGRADED"
+                elif r.get("window_degraded") is False:
+                    win = f"clean ({detail})" if detail else "clean"
+                elif detail is not None:
+                    win = f"n/a ({detail})"
                 else:
                     win = "—"
                 rows.append(

@@ -36,7 +36,29 @@ def leg(cores: str) -> dict:
 
 def main() -> None:
     label = sys.argv[1] if len(sys.argv) > 1 else "dedup-only draw"
+    sys.path.insert(0, REPO)
+    from bench import STEAL_DEGRADED_PCT
+    require_clean = "--require-clean-first-leg" in sys.argv
     l8a = leg("8")
+    if require_clean and (l8a.get("steal_pct") or 0) > STEAL_DEGRADED_PCT:
+        # window already degraded: don't spend the 15-minute tail of the
+        # draw documenting what the first leg has proven; the leg is
+        # still valuable as a window sample, so record it
+        rec = {"label": f"{label} — ABORTED after first 8-core leg "
+                        f"(steal {l8a.get('steal_pct')}% > "
+                        f"{STEAL_DEGRADED_PCT}%): degraded window",
+               "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+               "era": "k256",
+               "dedup_legs_steady": {"8": l8a["seconds"]},
+               "steal_pct": {"dedup_8a": l8a.get("steal_pct")},
+               "steal_worst": l8a.get("steal_pct"),
+               "window_degraded": True,
+               "note": "aborted probe leg, not an efficiency draw"}
+        with open(os.path.join(REPO, "BENCH/SCALING_HISTORY.jsonl"),
+                  "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec))
+        sys.exit(2)
     l2 = leg("2")
     l8b = leg("8")
     assert l8a["survivors"] == l2["survivors"] == l8b["survivors"]
@@ -51,8 +73,6 @@ def main() -> None:
               "dedup_8b": l8b.get("steal_pct")}
     steal_vals = [v for v in steals.values() if v is not None]
     steal_worst = max(steal_vals) if steal_vals else None
-    sys.path.insert(0, REPO)
-    from bench import STEAL_DEGRADED_PCT
     rec = {
         "label": label,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
