@@ -41,9 +41,12 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: hypervisor-steal threshold (percent of ALL-vCPU time during a steady
 #: leg) above which a draw's window is recorded as degraded. Calibrated
 #: r5 by interleaved same-code legs: dedup 8-core read 82.0 s at 0.046%
-#: steal and 104-129 s at 0.7-1.8% (identical code/input/survivors);
-#: 0.25% of 32 vCPUs ~= 1% of an 8-core leg's pinned cycles.
-STEAL_DEGRADED_PCT = 0.25
+#: steal, 97.4 s at 0.146%, and 104-129 s at 0.6-1.8% (identical code/
+#: input/survivors) — the curve is steep below 0.2%, so the threshold
+#: sits at 0.10% (between the one observed clean leg and the slowest
+#: sub-0.2% one); steal is a covariate of the window, not the outcome,
+#: so gating on it cannot select on the efficiency being measured.
+STEAL_DEGRADED_PCT = 0.10
 
 HEADLINE = [
     "fuzzy_pairs_turns_d1",
