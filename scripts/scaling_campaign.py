@@ -1,0 +1,61 @@
+"""Unattended clean-window campaign for k=256 dedup scaling draws.
+
+Loops scripts/dedup_scaling_draw.py with the first-leg steal gate until
+TARGET_CLEAN draws with window_degraded=false have been banked (or the
+attempt budget runs out). Aborted attempts (degraded first leg, exit 2)
+sleep RETRY_SLEEP_S and retry — each abort still appends its window
+sample to BENCH/SCALING_HISTORY.jsonl, so the campaign leaves an honest
+trail either way. Run inside tmux so it survives the driving session.
+
+Usage: python scripts/scaling_campaign.py [target_clean] [max_attempts]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TARGET_CLEAN = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+MAX_ATTEMPTS = int(sys.argv[2]) if len(sys.argv) > 2 else 14
+RETRY_SLEEP_S = 180
+
+
+def main() -> None:
+    clean = 0
+    for attempt in range(2, 2 + MAX_ATTEMPTS):
+        label = (f"r5 campaign attempt {attempt} "
+                 f"(k=256 bracketed 8-2-8, first-leg steal gate)")
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, "scripts/dedup_scaling_draw.py", label,
+             "--require-clean-first-leg"],
+            cwd=REPO, capture_output=True, text=True)
+        dt = time.time() - t0
+        tail = p.stdout.strip().splitlines()
+        rec = json.loads(tail[-1]) if tail else {}
+        status = ("ABORT(degraded first leg)" if p.returncode == 2 else
+                  "ERROR" if p.returncode != 0 else
+                  "DEGRADED" if rec.get("window_degraded") else "CLEAN")
+        print(f"[campaign] attempt {attempt}: {status} in {dt:.0f}s "
+              f"eff={rec.get('dedup_eff_2_to_8')} "
+              f"steal_worst={rec.get('steal_worst')}", flush=True)
+        if p.returncode not in (0, 2):
+            print(p.stderr[-2000:], flush=True)
+        if status == "CLEAN":
+            clean += 1
+            if clean >= TARGET_CLEAN:
+                print(f"[campaign] done: {clean} clean draws banked",
+                      flush=True)
+                return
+        if p.returncode == 2:
+            time.sleep(RETRY_SLEEP_S)
+    print(f"[campaign] attempt budget exhausted with {clean} clean draws",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
