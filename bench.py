@@ -892,9 +892,15 @@ def _history_table() -> str:
             "around every steady leg, is the recorded per-draw health "
             "bit (an interleaved same-code calibration read 82.0 s at "
             "0.046% steal vs 104-129 s at 0.7-1.8% on the same 8-core "
-            "dedup leg; threshold 0.25% of all-vCPU time ~= 1% of a "
-            "pinned 8-core leg's cycles — steal hits barrier-heavy JVM "
-            "stages ~10x harder than its raw cycle share). "
+            "dedup leg; threshold "
+            f"{STEAL_DEGRADED_PCT}% of all-vCPU time — tightened from "
+            "the initial 0.25% after a 97.4 s dedup 8-core leg at "
+            "0.146% steal landed mid-band: the dedup family degrades "
+            "inside the 0.1-0.25% band while the flagship tolerates it "
+            "— its 74.9 s in-envelope leg read 0.150% — so the bit is "
+            "calibrated on the more steal-sensitive family; steal hits "
+            "barrier-heavy JVM stages ~10x harder than its raw cycle "
+            "share). "
             "Per this file's own protocol the era's >=0.8 claim is "
             "gated on a median of >=3 CLEAN-WINDOW draws — degraded-"
             "window draws are reported for transparency but do not "
