@@ -137,7 +137,7 @@ def connected_components(
     node_col: str = "term_id",
     max_iterations: int = 20,
     checkpoint=None,
-    small_graph_threshold: int = 500_000,
+    small_graph_threshold: int = 2_000_000,
     initial_checksum=None,
 ) -> DataFrame:
     """Return (node_col, entity_id): each node labeled with the minimum
@@ -164,6 +164,16 @@ def connected_components(
     produce identical assignments (tested); incremental_components'
     touched-component subgraphs are typically small, so micro-batches
     ride this path even at huge total state.
+
+    The default bound is 2M edges (~32 MB of (long,long) Arrow traffic;
+    the numpy factorize working set stays in the low hundreds of MB on
+    any real driver). History: the original 500k bound was crossed
+    SILENTLY when the r4 dedup scaling corpus doubled to k=256 — that
+    corpus merges 575,405 docs, so its spanning forest alone exceeds
+    500k edges — which flipped the benchmark onto the star path and
+    reintroduced the profiled ~10 s non-scaling stage tail the driver
+    path had been built to remove (measured era efficiency dropped from
+    the predicted ~0.83 to ~0.76; BENCH/BASELINE.md k=256 era notes).
     """
     if checkpoint is None:
         # Default: LAZY localCheckpoint — the convergence checksum is then
@@ -239,7 +249,7 @@ def component_survivor_counts(
     node_col: str = "doc_id",
     max_iterations: int = 20,
     checkpoint=None,
-    small_graph_threshold: int = 500_000,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node_col, n_removed) for every SURVIVING node: the min-id member
     of each component carries n_removed = component size - 1, and every
@@ -256,7 +266,9 @@ def component_survivor_counts(
     singleton anti-join) — profiled at ~10 s of near-constant latency at
     2 AND 8 cores on a 288k-edge graph, the dominant serial term of the
     dedup scaling family after the pair join itself (BENCH/BASELINE.md
-    r4)."""
+    r4). Bound raised 500k -> 2M edges in r5 after the k=256 corpus
+    (575,405 merges — its spanning forest alone tops 500k) silently fell
+    off this path; see connected_components' docstring."""
     if checkpoint is None:
         def checkpoint(df: DataFrame) -> DataFrame:  # noqa: ANN001
             return df.localCheckpoint(eager=False)
