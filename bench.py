@@ -823,33 +823,52 @@ def _history_table() -> str:
         return vals[n // 2] if n % 2 else round(
             (vals[n // 2 - 1] + vals[n // 2]) / 2, 3)
 
-    effs, k256_clean, k256_all = [], [], []
+    effs = []
+    era_clean: dict[str, list] = {}
+    era_all: dict[str, list] = {}
     with open("BENCH/SCALING_HISTORY.jsonl") as f:
         for ln in f:
             r = json.loads(ln)
             if "eff_2_to_8" in r:
                 effs.append(r["eff_2_to_8"])
-            # dedup k=256 era: explicit era field (r5+) or label tag (r4).
-            # Clean = probe-graded clean, or (pre-probe r4 rows) a label
-            # that reports neither degradation nor contention.
+            # dedup eras: explicit era field (r5+), else label tag (r4
+            # rows predate the field). Clean = steal/probe-graded clean,
+            # or (pre-probe r4 rows) a label that reports neither
+            # degradation nor contention.
             label = str(r.get("label", "")).lower()
-            in_era = r.get("era") == "k256" or "k=256" in label
-            if in_era and "dedup_eff_2_to_8" in r:
-                k256_all.append(r["dedup_eff_2_to_8"])
+            era = r.get("era")
+            if era is None and "k=256" in label:
+                era = "k256"
+            if era and "dedup_eff_2_to_8" in r:
+                era_all.setdefault(era, []).append(r["dedup_eff_2_to_8"])
                 degraded = r.get("window_degraded")
                 if degraded is None:
                     degraded = ("degraded" in label or "contention" in label)
                 if not degraded:
-                    k256_clean.append(r["dedup_eff_2_to_8"])
+                    era_clean.setdefault(era, []).append(
+                        r["dedup_eff_2_to_8"])
     med = _median(effs)
-    k256_line = (
-        f"\n\nDedup k=256-era clean-window median (the era's north-rule "
-        f"evidence; protocol requires >=3 clean draws): "
-        f"**{_median(k256_clean)}** over {len(k256_clean)} clean draw(s) "
-        f"[{', '.join(str(v) for v in sorted(k256_clean))}] — "
-        f"{len(k256_all) - len(k256_clean)} degraded-window draw(s) "
-        f"excluded (all-draws median {_median(k256_all)}, n={len(k256_all)})."
-    )
+    era_desc = {
+        "k256": ("Dedup k=256-era (star-path CC: its >500k-edge graph "
+                 "silently fell off the 500k driver union-find bound — "
+                 "found and fixed in r5, see the fastpath era) "
+                 "clean-window median"),
+        "k256fp": ("Dedup k=256-FASTPATH-era (union-find bound raised to "
+                   "2M edges, restoring the driver CC fast path the r4 "
+                   "profiling built) clean-window median"),
+    }
+    k256_line = ""
+    for era in sorted(era_all):
+        clean, al = era_clean.get(era, []), era_all[era]
+        k256_line += (
+            f"\n\n{era_desc.get(era, f'Dedup {era}-era clean-window median')}"
+            f" (the era's north-rule evidence; protocol requires >=3 "
+            f"clean draws): "
+            f"**{_median(clean)}** over {len(clean)} clean draw(s) "
+            f"[{', '.join(str(v) for v in sorted(clean))}] — "
+            f"{len(al) - len(clean)} degraded-window draw(s) "
+            f"excluded (all-draws median {_median(al)}, n={len(al)})."
+        )
     return ("| invocation | 2-core s | 8-core s | 32-core s | eff 2→8 "
             "| eff 8→32 | dedup eff 2→8 | window probe |\n"
             "|---|---|---|---|---|---|---|---|\n"
@@ -900,7 +919,11 @@ def _history_table() -> str:
             "— its 74.9 s in-envelope leg read 0.150% — so the bit is "
             "calibrated on the more steal-sensitive family; steal hits "
             "barrier-heavy JVM stages ~10x harder than its raw cycle "
-            "share). "
+            "share; later campaign legs showed the mid-band is "
+            "one-directional evidence — 72-76 s legs at 0.118-0.258% "
+            "steal prove a mid-band reading does not IMPLY degradation, "
+            "so the gate is conservative: it discards some good legs "
+            "and admits no bad ones). "
             "Per this file's own protocol the era's >=0.8 claim is "
             "gated on a median of >=3 CLEAN-WINDOW draws — degraded-"
             "window draws are reported for transparency but do not "
@@ -910,7 +933,40 @@ def _history_table() -> str:
             "shown per row, measures whether the box stayed stable "
             "across the draw, making each draw self-validating instead "
             "of a point sample; efficiency uses their mean. The SAME "
-            "survivor count per draw is asserted in every leg.")
+            "survivor count per draw is asserted in every leg. "
+            "WHAT THE r5 CAMPAIGN FOUND (steal-gated attempts, table "
+            "rows above): the box never delivered a fully-clean window "
+            "— every completed draw had one leg over the steal bar — "
+            "but the instrumented draws exposed two facts the r4 "
+            "evidence could not. (a) The 2-core leg's steady time is "
+            "monotone in its measured steal — 231.6 s at 0.067%, "
+            "246.7 s at 0.116%, 272.7 s at 0.461% — and the "
+            "pre-instrumentation r4 #7 draw behind the era's lone "
+            "'clean' 0.939 ran its 2-core leg at 304.0 s steady "
+            "AGAINST a 285.2 s cold (steady > cold is an internal "
+            "contention flag), i.e. the 0.939 almost certainly carries "
+            "2-core-leg inflation and the era's honest central estimate "
+            "from the best-instrumented draw (campaign attempt 8: "
+            "231.6 s clean 2-leg at 0.067%, bracketed 8-core legs "
+            "79.4 / 72.2 s) is eff ~0.73-0.80. (b) Fitting T = S + P/c "
+            "to that draw gives S ~24 s fixed vs P ~415 s parallel — "
+            "S had GROWN from the ~16.6 s the r4 fixes left behind. "
+            "Root cause, found in r5: the k=256 corpus merges 575,405 "
+            "docs, so its deduped edge set exceeds the 500k-edge bound "
+            "on the driver union-find fast path by its spanning forest "
+            "alone — every k=256 draw silently ran the distributed "
+            "star path, re-paying the ~10 s non-scaling stage tail the "
+            "r4 fast path had removed. The bound was raised to 2M "
+            "edges (~32 MB of Arrow traffic, still driver-bounded; "
+            "operators/cluster.py) and the k=256-FASTPATH era draws "
+            "above measure the same corpus on the restored fast path — "
+            "the Amdahl fit predicts eff ~0.82 at 2->8 once the ~8-10 s "
+            "tail is gone, and the per-era clean-window median lines "
+            "under the table carry the verdict. At deployment scale "
+            "the same analysis says the criterion strengthens with "
+            "batch size: S is per-JOB stage latency, so 1000-executor "
+            "batches (P thousands of times larger) sit far inside the "
+            "parallel-dominated regime either way.")
 
 
 def _kernel_rate() -> int:

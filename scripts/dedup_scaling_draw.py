@@ -39,6 +39,8 @@ def main() -> None:
     sys.path.insert(0, REPO)
     from bench import STEAL_DEGRADED_PCT
     require_clean = "--require-clean-first-leg" in sys.argv
+    era = (sys.argv[sys.argv.index("--era") + 1]
+           if "--era" in sys.argv else "k256")
     l8a = leg("8")
     if require_clean and (l8a.get("steal_pct") or 0) > STEAL_DEGRADED_PCT:
         # window already degraded: don't spend the 15-minute tail of the
@@ -48,7 +50,7 @@ def main() -> None:
                         f"(steal {l8a.get('steal_pct')}% > "
                         f"{STEAL_DEGRADED_PCT}%): degraded window",
                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-               "era": "k256",
+               "era": era,
                "dedup_legs_steady": {"8": l8a["seconds"]},
                "steal_pct": {"dedup_8a": l8a.get("steal_pct")},
                "steal_worst": l8a.get("steal_pct"),
@@ -77,7 +79,7 @@ def main() -> None:
         "label": label,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "dedup_eff_2_to_8": eff,
-        "era": "k256",
+        "era": era,
         "dedup_legs_steady": {"2": l2["seconds"], "8": round(mean8, 3),
                               "8a": l8a["seconds"], "8b": l8b["seconds"]},
         "bracket_spread_pct": round(100 * spread8, 1),
