@@ -25,14 +25,16 @@ RETRY_SLEEP_S = 180
 
 
 def main() -> None:
+    era = os.environ.get("CAMPAIGN_ERA", "k256")
+    start = int(os.environ.get("CAMPAIGN_START_ATTEMPT", "2"))
     clean = 0
-    for attempt in range(2, 2 + MAX_ATTEMPTS):
+    for attempt in range(start, start + MAX_ATTEMPTS):
         label = (f"r5 campaign attempt {attempt} "
-                 f"(k=256 bracketed 8-2-8, first-leg steal gate)")
+                 f"({era} bracketed 8-2-8, first-leg steal gate)")
         t0 = time.time()
         p = subprocess.run(
             [sys.executable, "scripts/dedup_scaling_draw.py", label,
-             "--require-clean-first-leg"],
+             "--require-clean-first-leg", "--era", era],
             cwd=REPO, capture_output=True, text=True)
         dt = time.time() - t0
         tail = p.stdout.strip().splitlines()
