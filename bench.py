@@ -768,8 +768,10 @@ def _append_history(out: dict) -> None:
         rec["dedup_eff_8_to_32"] = out["dedup_eff_8_to_32"]
         # era tag keeps the per-era medians computable without label
         # parsing; bump when the dedup corpus k or the family's code
-        # changes shape (k=256 since r4 #7)
-        rec["era"] = "k256"
+        # changes shape (k=256 since r4 #7; k256fp since the union-find
+        # bound was raised to 2M edges and the k=256 corpus moved back
+        # onto the fast path)
+        rec["era"] = "k256fp"
     for k in ("probes", "steal_pct", "probe_worst", "probe_clean_ref",
               "window_degraded"):
         if out.get(k) is not None:
