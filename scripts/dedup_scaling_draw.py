@@ -37,23 +37,40 @@ def leg(cores: str) -> dict:
 def main() -> None:
     label = sys.argv[1] if len(sys.argv) > 1 else "dedup-only draw"
     sys.path.insert(0, REPO)
-    from bench import STEAL_DEGRADED_PCT
+    from bench import STEAL_DEGRADED_PCT, _probe_reference
     require_clean = "--require-clean-first-leg" in sys.argv
     era = (sys.argv[sys.argv.index("--era") + 1]
            if "--era" in sys.argv else "k256")
     l8a = leg("8")
-    if require_clean and (l8a.get("steal_pct") or 0) > STEAL_DEGRADED_PCT:
+    # First-leg gate on BOTH window covariates: hypervisor steal and the
+    # fixed-work probe vs the rolling clean reference (>20% above =
+    # degraded, same standard bench.py --probe applies). Attempt 10
+    # showed why steal alone is insufficient: steal 0.078% passed the
+    # gate while the probe read 0.914s vs ~0.68s clean and the leg ran
+    # 91s vs the 69-76s healthy band. Both are covariates of the window
+    # measured by work that is NOT the efficiency outcome, so gating on
+    # them cannot select on the efficiency being drawn.
+    probe_ref = _probe_reference()
+    probe = l8a.get("probe_8core_sec")
+    probe_bad = (probe is not None and probe_ref is not None
+                 and probe > 1.2 * probe_ref)
+    if require_clean and (
+            (l8a.get("steal_pct") or 0) > STEAL_DEGRADED_PCT or probe_bad):
         # window already degraded: don't spend the 15-minute tail of the
         # draw documenting what the first leg has proven; the leg is
         # still valuable as a window sample, so record it
+        why = (f"steal {l8a.get('steal_pct')}% > {STEAL_DEGRADED_PCT}%"
+               if (l8a.get("steal_pct") or 0) > STEAL_DEGRADED_PCT else
+               f"probe {probe}s > 1.2x clean ref {probe_ref}s")
         rec = {"label": f"{label} — ABORTED after first 8-core leg "
-                        f"(steal {l8a.get('steal_pct')}% > "
-                        f"{STEAL_DEGRADED_PCT}%): degraded window",
+                        f"({why}): degraded window",
                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                "era": era,
                "dedup_legs_steady": {"8": l8a["seconds"]},
                "steal_pct": {"dedup_8a": l8a.get("steal_pct")},
                "steal_worst": l8a.get("steal_pct"),
+               "probes": {"dedup_8a": probe},
+               "probe_clean_ref": probe_ref,
                "window_degraded": True,
                "note": "aborted probe leg, not an efficiency draw"}
         with open(os.path.join(REPO, "BENCH/SCALING_HISTORY.jsonl"),
