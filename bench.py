@@ -612,13 +612,29 @@ def run_scale_job_dedup(cores: str, k: int = 256) -> None:
 
     warm_dt, _ = once()
     st0 = _read_proc_stat()
-    d1, n_surv = once()
-    d2, n2 = once()
-    assert n2 == n_surv
-    dt = _steady([d1, d2], warm_dt, once)
+    # LLS_BENCH_STEADY_RUNS widens the min-of-N window (default 2, the
+    # historical leg shape). The r5 k256fp campaign showed the box's
+    # mid-parallelism contention arrives in SUSTAINED multi-minute
+    # phases (identical 8-core legs read 66.9-91.2 s across draws while
+    # 2-core legs held 223-237 s), so a 2-run leg can sit entirely
+    # inside a mush phase. min-of-N is the estimator this leg has always
+    # used (_steady); more runs only widens its time window so at least
+    # one run lands in the box's uncontended mode — contention can only
+    # inflate a run, never deflate it, so min converges on capability.
+    n_runs = max(1, int(os.environ.get("LLS_BENCH_STEADY_RUNS", "2")))
+    runs = []
+    n_surv = None
+    for _ in range(n_runs):
+        d, n = once()
+        if n_surv is None:
+            n_surv = n
+        assert n == n_surv
+        runs.append(d)
+    dt = _steady(runs, warm_dt, once)
     steal = _steal_pct(st0, _read_proc_stat())
     print(json.dumps({"cores": int(cores), "seconds": round(dt, 3),
                       "cold_seconds": round(warm_dt, 3),
+                      "steady_runs": [round(x, 3) for x in runs],
                       "docs": n_docs, "survivors": n_surv,
                       "docs_per_sec": round(n_docs / dt),
                       "probe_8core_sec": probe,

@@ -29,27 +29,12 @@ def main() -> None:
     start = int(os.environ.get("CAMPAIGN_START_ATTEMPT", "2"))
     clean = 0
     for attempt in range(start, start + MAX_ATTEMPTS):
-        # 2-second pre-gate: don't spend a 5.5-minute 8-core leg sampling
-        # a window the fixed-work probe already grades as degraded. The
-        # probe samples every ~2 min instead of every ~9, so clean
-        # windows are caught sooner AND the box stays idle (not churning
-        # abort legs) while the weather is bad.
-        while True:
-            pr = subprocess.run(
-                [sys.executable, "bench.py", "--probe"],
-                cwd=REPO, capture_output=True, text=True)
-            try:
-                prec = json.loads(pr.stdout.strip().splitlines()[-1])
-            except (ValueError, IndexError):
-                prec = {}
-            if not prec.get("window_degraded"):
-                break
-            print(f"[campaign] pre-gate: probe {prec.get('value')}s vs "
-                  f"clean ref {prec.get('clean_ref')}s, steal "
-                  f"{prec.get('steal_pct')}% — waiting", flush=True)
-            time.sleep(120)
+        # No probe pre-gate: the 2 s probe proved uninformative in both
+        # directions (attempt 14 aborted a 66.9 s first leg on a 0.95 s
+        # probe). Robustness lives in the draw's min-of-N legs now; only
+        # a genuine steal storm on the first leg aborts an attempt.
         label = (f"r5 campaign attempt {attempt} "
-                 f"({era} bracketed 8-2-8, first-leg steal gate)")
+                 f"({era} min-of-N 8-2-8, first-leg steal gate)")
         t0 = time.time()
         p = subprocess.run(
             [sys.executable, "scripts/dedup_scaling_draw.py", label,
