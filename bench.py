@@ -844,6 +844,7 @@ def _history_table() -> str:
     effs = []
     era_clean: dict[str, list] = {}
     era_all: dict[str, list] = {}
+    era_minofn: dict[str, list] = {}
     with open("BENCH/SCALING_HISTORY.jsonl") as f:
         for ln in f:
             r = json.loads(ln)
@@ -864,6 +865,12 @@ def _history_table() -> str:
                     degraded = ("degraded" in label or "contention" in label)
                 if not degraded:
                     era_clean.setdefault(era, []).append(
+                        r["dedup_eff_2_to_8"])
+                # final-protocol draws: min-of-N legs (leg_runs recorded)
+                # are window-robust by construction — the estimator, not
+                # a window flag, carries the evidence for these
+                if r.get("leg_runs"):
+                    era_minofn.setdefault(era, []).append(
                         r["dedup_eff_2_to_8"])
     med = _median(effs)
     era_desc = {
@@ -887,6 +894,17 @@ def _history_table() -> str:
             f"{len(al) - len(clean)} degraded-window draw(s) "
             f"excluded (all-draws median {_median(al)}, n={len(al)})."
         )
+        mofn = era_minofn.get(era, [])
+        if mofn:
+            k256_line += (
+                f" Final min-of-N-leg protocol draws (window-robust "
+                f"estimator — each leg is the minimum of N runs wide "
+                f"enough to span the box's multi-minute contention "
+                f"phases, per-run arrays recorded; see the protocol "
+                f"note below): median **{_median(mofn)}** over "
+                f"{len(mofn)} draw(s) "
+                f"[{', '.join(str(v) for v in sorted(mofn))}]."
+            )
     return ("| invocation | 2-core s | 8-core s | 32-core s | eff 2→8 "
             "| eff 8→32 | dedup eff 2→8 | window probe |\n"
             "|---|---|---|---|---|---|---|---|\n"
