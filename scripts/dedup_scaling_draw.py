@@ -79,7 +79,7 @@ def main() -> None:
         print(json.dumps(rec))
         sys.exit(2)
     l2 = leg("2", runs=3)
-    l8b = leg("8", runs=2)
+    l8b = leg("8", runs=3)
     assert l8a["survivors"] == l2["survivors"] == l8b["survivors"]
     mean8 = (l8a["seconds"] + l8b["seconds"]) / 2
     spread8 = abs(l8a["seconds"] - l8b["seconds"]) / mean8
