@@ -54,7 +54,9 @@ def main() -> None:
     # phase — min is the estimator _steady has always used), the 2-core
     # leg min-of-3, the bracket leg min-of-2; the probe gate is dropped
     # and only a genuine steal storm aborts a draw early.
-    l8a = leg("8", runs=4)
+    r8a, r2, r8b = (int(x) for x in os.environ.get(
+        "LLS_DRAW_RUNS", "4,3,3").split(","))
+    l8a = leg("8", runs=r8a)
     probe_ref = _probe_reference()
     probe = l8a.get("probe_8core_sec")
     if require_clean and (l8a.get("steal_pct") or 0) > STEAL_DEGRADED_PCT:
@@ -78,8 +80,8 @@ def main() -> None:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec))
         sys.exit(2)
-    l2 = leg("2", runs=3)
-    l8b = leg("8", runs=3)
+    l2 = leg("2", runs=r2)
+    l8b = leg("8", runs=r8b)
     assert l8a["survivors"] == l2["survivors"] == l8b["survivors"]
     mean8 = (l8a["seconds"] + l8b["seconds"]) / 2
     spread8 = abs(l8a["seconds"] - l8b["seconds"]) / mean8
