@@ -1069,7 +1069,22 @@ def _history_table() -> str:
             "(leg_runs) so the minimum is auditable, the estimator is "
             "identical on both sides of the ratio, and the steal gate "
             "still aborts (first leg) and flags (any leg) genuine "
-            "steal storms.")
+            "steal storms. The one genuinely clean stretch the final "
+            "campaign caught (draw of 2026-08-18T23:54Z: 2-core leg "
+            "193.6 s at 0.009% steal, 8-core run 59.7 s at 0.025%) "
+            "pins the fastpath era's uncontended Amdahl terms at "
+            "S ~15 s fixed / P ~357 s parallel — S back at the level "
+            "the r4 fixes left behind, confirming the union-find bound "
+            "raise removed the star-path tail — and scripts/"
+            "profile_dedup_leg.py measured the k=256 pair graph at "
+            "exactly 575,405 edges (n_docs - survivors: the amplified "
+            "corpus's match graph is a spanning forest), which is what "
+            "makes the k=512 era's ~1.15M edges a CHECKED 2x margin "
+            "inside the 2M driver-UF bound rather than a new silent "
+            "fallback. At S=15/P=357 the fit predicts eff 0.81 at "
+            "k=256 (matching the pooled-minimum capability line) and "
+            "0.89 at k=512, where one mush-inflated 8-core leg costs "
+            "the draw ~0.05 of efficiency instead of ~0.08.")
 
 
 def _kernel_rate() -> int:
