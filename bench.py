@@ -393,7 +393,15 @@ def run_default() -> None:
     n_draws: dict[str, int] = {}
     q_steal: dict[str, float] = {}
     total = cold_total = 0.0
-    for name in HEADLINE:
+    # LLS_BENCH_ONLY="a,b,c" runs a subset of the headline list (same
+    # methodology per query) — for targeted clean-window redraws of
+    # specific rows without paying the full 16-query invocation. The
+    # output JSON carries the subset so a partial total is never
+    # mistaken for a full headline value.
+    only = os.environ.get("LLS_BENCH_ONLY")
+    names = ([n for n in HEADLINE if n in
+              {s.strip() for s in only.split(",")}] if only else HEADLINE)
+    for name in names:
         spark.catalog.clearCache()
         gc.collect()
         st0 = _read_proc_stat()
@@ -445,6 +453,7 @@ def run_default() -> None:
         "query_steal_pct": q_steal,
         "steal_worst": max(q_steal.values()) if q_steal else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **({"subset": names} if only else {}),
     }))
 
 
