@@ -1164,6 +1164,37 @@ def _round_history() -> str:
             + "|---|---|---|---|---|---|\n" + "\n".join(rows))
 
 
+def _headline_redraws() -> str:
+    """Markdown for targeted clean-window headline redraws (the
+    LLS_BENCH_ONLY subset runs, appended to BENCH/headline_redraws.jsonl
+    by the operator): per-query steady medians with their per-run draws,
+    per-query steal, and the invocation's window probe — the reconciling
+    evidence for rows a degraded-window driver bench inflated."""
+    try:
+        with open("BENCH/headline_redraws.jsonl") as f:
+            recs = [json.loads(ln) for ln in f if ln.strip()]
+    except FileNotFoundError:
+        return ""
+    if not recs:
+        return ""
+    parts = ["\n## Targeted headline redraws (clean-window subset runs)\n"]
+    for r in recs:
+        parts.append(
+            f"\n{r.get('label', 'redraw')} — ts {r.get('ts', '?')}, "
+            f"window probe {r.get('window_probe_sec')}s "
+            f"(clean ref {r.get('window_probe_clean_ref')}), "
+            f"sf {r.get('sf')}:\n\n"
+            "| query | steady s (median) | cold s | draws | steal % |\n"
+            "|---|---|---|---|---|")
+        steals = r.get("query_steal_pct", {})
+        for q, v in (r.get("queries") or {}).items():
+            parts.append(
+                f"| {q} | {v} | {r.get('cold_queries', {}).get(q, '—')} "
+                f"| {r.get('draws', {}).get(q, '—')} "
+                f"| {steals.get(q, '—')} |")
+    return "\n".join(parts) + "\n"
+
+
 def _write_baseline_md(out: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     r2, r8, r32 = out["legs"]["2"], out["legs"]["8"], out["legs"]["32"]
@@ -1303,7 +1334,7 @@ shuffle-bound, not CPU-bound, by design.
 ## Flagship invocation history (every --scaling run, SCALING_HISTORY.jsonl)
 
 {_history_table()}
-
+{_headline_redraws()}
 ## Anomalies investigated
 
 - **r3 headline drift (jaccard 1.33x / simhash 1.55x / substring 1.28x /
