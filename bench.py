@@ -1177,7 +1177,18 @@ def _headline_redraws() -> str:
         return ""
     if not recs:
         return ""
-    parts = ["\n## Targeted headline redraws (clean-window subset runs)\n"]
+    parts = ["\n## Targeted headline redraws (clean-window subset runs)\n"
+             "\nThese subset runs are the reconciling evidence for the four"
+             " rows the r4 driver bench recorded inside its degraded window"
+             " (`fuzzy_pairs_turns_d1` 5.73s, `fuzzy_pairs_turns_d2` 5.13s,"
+             " `substring_fuzzy_d1` 7.78s, `linkage_f1` 5.23s, plus"
+             " `substring_shared_index` 9.62s) on unchanged code and plans:"
+             " each redraw below uses the identical per-query methodology"
+             " (median of isolated draws, fresh JVM each) and records its"
+             " own window probe + per-query steal, so a reader can see the"
+             " conditions the numbers were taken under. Values at or below"
+             " the r3 / builder clean-window medians (3.0/3.0/5.6/2.35/8.3s)"
+             " confirm the r4 rows were box weather, not regression.\n"]
     for r in recs:
         parts.append(
             f"\n{r.get('label', 'redraw')} — ts {r.get('ts', '?')}, "
