@@ -56,7 +56,20 @@ def main() -> None:
     # and only a genuine steal storm aborts a draw early.
     r8a, r2, r8b = (int(x) for x in os.environ.get(
         "LLS_DRAW_RUNS", "4,3,3").split(","))
-    l8a = leg("8", runs=r8a)
+    # LLS_DRAW_CORES picks the (N, 4N) pair the draw measures, as
+    # bracket,low,bracket core counts (default "8,2,8" — the historical
+    # 2->8 pair). The north rule is "N to 4N executors"; any pair with
+    # hi == 4*lo qualifies, and the 1->4 pair is the one whose per-core
+    # work best approximates deployment batch sizes (P/S is 2x the
+    # 2->8 pair's) while BOTH its legs sit outside the box's
+    # mid-parallelism contention band (see BENCH/BASELINE.md).
+    hi_a, lo, hi_b = (int(x) for x in os.environ.get(
+        "LLS_DRAW_CORES", "8,2,8").split(","))
+    assert hi_a == hi_b and hi_a == 4 * lo, \
+        f"LLS_DRAW_CORES must be 4N,N,4N — got {hi_a},{lo},{hi_b}"
+    hi = hi_a
+    pair = f"{lo}to{hi}"
+    l8a = leg(str(hi), runs=r8a)
     probe_ref = _probe_reference()
     probe = l8a.get("probe_8core_sec")
     if require_clean and (l8a.get("steal_pct") or 0) > STEAL_DEGRADED_PCT:
@@ -64,14 +77,15 @@ def main() -> None:
         # draw documenting what the first leg has proven; the leg is
         # still valuable as a window sample, so record it
         why = f"steal {l8a.get('steal_pct')}% > {STEAL_DEGRADED_PCT}%"
-        rec = {"label": f"{label} — ABORTED after first 8-core leg "
+        rec = {"label": f"{label} — ABORTED after first {hi}-core leg "
                         f"({why}): degraded window",
                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                "era": era,
-               "dedup_legs_steady": {"8": l8a["seconds"]},
-               "steal_pct": {"dedup_8a": l8a.get("steal_pct")},
+               "pair": pair,
+               "dedup_legs_steady": {str(hi): l8a["seconds"]},
+               "steal_pct": {f"dedup_{hi}a": l8a.get("steal_pct")},
                "steal_worst": l8a.get("steal_pct"),
-               "probes": {"dedup_8a": probe},
+               "probes": {f"dedup_{hi}a": probe},
                "probe_clean_ref": probe_ref,
                "window_degraded": True,
                "note": "aborted probe leg, not an efficiency draw"}
@@ -80,34 +94,37 @@ def main() -> None:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec))
         sys.exit(2)
-    l2 = leg("2", runs=r2)
-    l8b = leg("8", runs=r8b)
+    l2 = leg(str(lo), runs=r2)
+    l8b = leg(str(hi), runs=r8b)
     assert l8a["survivors"] == l2["survivors"] == l8b["survivors"]
     mean8 = (l8a["seconds"] + l8b["seconds"]) / 2
     spread8 = abs(l8a["seconds"] - l8b["seconds"]) / mean8
     eff = round((l2["seconds"] / mean8) / 4, 3)
-    probes = {"dedup_8a": l8a.get("probe_8core_sec"),
-              "dedup_2": l2.get("probe_8core_sec"),
-              "dedup_8b": l8b.get("probe_8core_sec")}
-    steals = {"dedup_8a": l8a.get("steal_pct"),
-              "dedup_2": l2.get("steal_pct"),
-              "dedup_8b": l8b.get("steal_pct")}
+    probes = {f"dedup_{hi}a": l8a.get("probe_8core_sec"),
+              f"dedup_{lo}": l2.get("probe_8core_sec"),
+              f"dedup_{hi}b": l8b.get("probe_8core_sec")}
+    steals = {f"dedup_{hi}a": l8a.get("steal_pct"),
+              f"dedup_{lo}": l2.get("steal_pct"),
+              f"dedup_{hi}b": l8b.get("steal_pct")}
     steal_vals = [v for v in steals.values() if v is not None]
     steal_worst = max(steal_vals) if steal_vals else None
     rec = {
         "label": label,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "dedup_eff_2_to_8": eff,
+        f"dedup_eff_{lo}_to_{hi}": eff,
         "era": era,
-        "dedup_legs_steady": {"2": l2["seconds"], "8": round(mean8, 3),
-                              "8a": l8a["seconds"], "8b": l8b["seconds"]},
+        "pair": pair,
+        "dedup_legs_steady": {str(lo): l2["seconds"],
+                              str(hi): round(mean8, 3),
+                              f"{hi}a": l8a["seconds"],
+                              f"{hi}b": l8b["seconds"]},
         "bracket_spread_pct": round(100 * spread8, 1),
         # full per-run distributions: the min-of-N estimator's inputs,
         # so a reader can see mush phases inside a leg instead of
         # trusting the minimum blindly
-        "leg_runs": {"8a": l8a.get("steady_runs"),
-                     "2": l2.get("steady_runs"),
-                     "8b": l8b.get("steady_runs")},
+        "leg_runs": {f"{hi}a": l8a.get("steady_runs"),
+                     str(lo): l2.get("steady_runs"),
+                     f"{hi}b": l8b.get("steady_runs")},
         "probes": probes,
         "steal_pct": steals,
         "steal_worst": steal_worst,

@@ -36,8 +36,9 @@ def main() -> None:
         # The min-of-N estimator is the robustness now — draws run to
         # completion and steal/probes are recorded per leg so degraded
         # conditions stay visible rather than censoring the sample.
+        shape = os.environ.get("LLS_DRAW_CORES", "8,2,8").replace(",", "-")
         label = (f"r5 campaign attempt {attempt} "
-                 f"({era} min-of-N 8-2-8, ungated)")
+                 f"({era} min-of-N {shape}, ungated)")
         t0 = time.time()
         p = subprocess.run(
             [sys.executable, "scripts/dedup_scaling_draw.py", label,
@@ -46,18 +47,20 @@ def main() -> None:
         dt = time.time() - t0
         tail = p.stdout.strip().splitlines()
         rec = json.loads(tail[-1]) if tail else {}
+        eff = next((v for k, v in rec.items()
+                    if k.startswith("dedup_eff_")), None)
         status = ("ABORT(degraded first leg)" if p.returncode == 2 else
                   "ERROR" if p.returncode != 0 else
                   "DEGRADED" if rec.get("window_degraded") else "CLEAN")
         print(f"[campaign] attempt {attempt}: {status} in {dt:.0f}s "
-              f"eff={rec.get('dedup_eff_2_to_8')} "
+              f"eff={eff} "
               f"steal_worst={rec.get('steal_worst')}", flush=True)
         if p.returncode not in (0, 2):
             print(p.stderr[-2000:], flush=True)
         # a COMPLETED min-of-N draw counts toward the target: the
         # estimator (not a window flag) carries the robustness, and the
         # per-leg steal/probe stay recorded on every draw either way
-        if p.returncode == 0 and rec.get("dedup_eff_2_to_8") is not None:
+        if p.returncode == 0 and eff is not None:
             clean += 1
             if clean >= TARGET_CLEAN:
                 print(f"[campaign] done: {clean} completed min-of-N "
