@@ -1186,7 +1186,28 @@ def _history_table() -> str:
             "actually measure to the protocol's precision. Neither "
             "reason retires the 2->8 history: those medians stay "
             "reported unchanged above, and the pair-dimension lines "
-            "under the table carry both measurements side by side.")
+            "under the table carry both measurements side by side. "
+            "1->4 CAMPAIGN OUTCOME (k256fp, 3 completed draws: 0.821 / "
+            "0.809 / 0.746, median 0.809): the first protocol-compliant "
+            "(>=3-draw) median over the 0.8 bar in the k=256-fastpath "
+            "era. The fit cross-check splits cleanly by leg: draw 31's "
+            "1-core leg ran 376.2 s at 0.036% steal — within 1.2% of "
+            "the fit's T1 = S + P = 372 s prediction, so the "
+            "clean-stretch Amdahl terms are validated on the serial "
+            "leg by an independent draw at a DIFFERENT core count — "
+            "while the 4-core legs floored at 119.6 s across all "
+            "three draws vs the fit's T4 = 104 s, i.e. the residual "
+            "gap to the 0.89 per-pair prediction lives entirely in "
+            "the 4N legs. Two non-exclusive readings, both "
+            "deployment-benign: the box's mid-parallelism contention "
+            "band extends down to 4-core legs (every draw was "
+            "steal-flagged on exactly one leg), and/or the corpus "
+            "build + shuffle overlap gives the parallel section a "
+            "mildly sub-linear region between 1 and 4 local cores — "
+            "either way the measured T1 pins P + S at the fitted "
+            "value, and at deployment batch sizes (P thousands of "
+            "times larger) both readings converge to eff -> 1.0 as "
+            "the extrapolation already states.")
 
 
 def _kernel_rate() -> int:
