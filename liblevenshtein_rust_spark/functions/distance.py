@@ -516,7 +516,11 @@ def make_distance_udf(max_distance: int, variant: str = STANDARD,
     def _dist(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(batch_distance(a, b, n, var, sp))
 
-    return _dist
+    # the kernel IS deterministic; the marker is the documented optimizer
+    # fence (guide §4.4) against duplicated evaluation: the filter on the
+    # UDF-computed distance otherwise plans a second ArrowEvalPython below
+    # the filter (profiled: every variant join paid the Arrow kernel twice)
+    return _dist.asNondeterministic()
 
 
 @lru_cache(maxsize=None)
@@ -533,4 +537,5 @@ def make_prefix_distance_udf(max_distance: int, variant: str = STANDARD,
     def _pdist(q: pd.Series, t: pd.Series) -> pd.Series:
         return pd.Series(batch_prefix_distance(q, t, n, var, sp))
 
-    return _pdist
+    # see make_distance_udf: single-evaluation fence (guide §4.4)
+    return _pdist.asNondeterministic()

@@ -341,4 +341,6 @@ def make_weighted_distance_udf(max_cost: float, ops: WeightedOps):
     def _wdist(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(weighted_batch_distance(a, b, mc, ops))
 
-    return _wdist
+    # single-evaluation fence against the filter-below-projection UDF
+    # duplication (guide §4.4; see functions/distance.make_distance_udf)
+    return _wdist.asNondeterministic()

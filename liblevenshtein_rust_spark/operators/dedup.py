@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from liblevenshtein_rust_spark.functions.canonicalize import canon_text
+from liblevenshtein_rust_spark.operators.skew import spread_input
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
@@ -88,28 +89,29 @@ def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
     codegen and map-side partial aggregation. (The arith base hash is one
     such lambda per shingle — acceptable for its purpose, oracle replay;
     production stays on xxhash64.)"""
-    base = docs.select(F.col(id_col),
-                       F.explode(_shingles(text_col, shingle_k)).alias("_s"))
+    # r6: per-seed hash columns and the signature aggregate are built as
+    # SQL strings — the per-Column py4j construction cost dominated the
+    # driver side of this operator (see simhash_signatures note)
+    base = spread_input(docs.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("_s"))
     if hash == "xxhash64":
-        sh = base.select(
-            F.col(id_col),
-            *[F.xxhash64("_s", F.lit(h)).alias(f"_h{h}")
-              for h in range(num_hashes)])
+        sh = base.selectExpr(
+            f"`{id_col}`",
+            *[f"xxhash64(_s, {h}) AS _h{h}" for h in range(num_hashes)])
     elif hash == "arith":
         coeffs = perm_coeffs(num_hashes)
         sh = base.select(
             F.col(id_col), F.expr(_arith_str_hash_sql("_s")).alias("_hb")
-        ).select(
-            F.col(id_col),
-            *[((F.lit(a) * F.col("_hb") + F.lit(b)) % P_ARITH).alias(f"_h{h}")
+        ).selectExpr(
+            f"`{id_col}`",
+            *[f"({a}L * _hb + {b}L) % {P_ARITH} AS _h{h}"
               for h, (a, b) in enumerate(coeffs)])
     else:
         raise ValueError(f"unknown hash {hash!r}")
-    agg = sh.groupBy(id_col).agg(
-        *[F.min(f"_h{h}").alias(f"_m{h}") for h in range(num_hashes)])
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_m{h}") for h in range(num_hashes)]).alias("signature"))
+    return sh.groupBy(id_col).agg(
+        F.expr("array(" + ", ".join(
+            f"min(_h{h})" for h in range(num_hashes)) + ")")
+        .alias("signature"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
@@ -143,8 +145,15 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
             f"transform(sequence(0, {bands - 1}), b -> "
             f"concat(b, ':', array_join(slice(signature, b * {rows_per} + 1, {rows_per}), ',')))")
     band_keys = F.expr(band_key_sql)
+    # r6 (guide §2.4 "two operations keyed the same way can share one
+    # exchange"): pre-partition the keyed table on the join key so BOTH
+    # sides of the self-join require exactly this exchange — AQE stage
+    # reuse then computes the signature pipeline ONCE instead of once per
+    # side (profiled: two concurrent 1.9 s/1.7 s signature stages at
+    # sf0.1 collapsed to one).
     keyed = sigs.select(F.col(id_col).alias("_bid"),
-                        F.explode(band_keys).alias("_bkey"))
+                        F.explode(band_keys).alias("_bkey")) \
+        .repartition("_bkey")
     l = keyed.withColumnRenamed("_bid", "id_a").alias("lk")
     r = keyed.withColumnRenamed("_bid", "id_b").alias("rk")
     cand = (
@@ -153,8 +162,11 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    toks = docs.select(F.col(id_col),
-                       F.array_distinct(_shingles(text_col, shingle_k)).alias("_t"))
+    # verify side spread too (r6): this subtree is broadcast-built, and
+    # without the spread the interpreted shingle lambda ran on ONE task
+    # (profiled 2.4 s serial — the whole query's critical path)
+    toks = spread_input(docs.select(id_col, text_col)).select(
+        F.col(id_col), F.array_distinct(_shingles(text_col, shingle_k)).alias("_t"))
     a = toks.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
     verified = (
@@ -219,7 +231,9 @@ def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     64 bits (P < |vocab|^2 / 2^65; ~1e-10 at a 100M-word vocabulary), so
     this is the production default for 100-TB dedup; leave False where
     bit-exactness against a word-level oracle is required."""
-    toks = docs.select(
+    toks = spread_input(
+        docs.select([id_col, text_col] + ([group_col] if group_col else []))
+    ).select(
         F.col(id_col).alias("_id"),
         (F.col(group_col) if group_col else F.lit(0)).alias("_g"),
         F.explode(F.array_distinct(F.split(canon_text(text_col), " "))).alias("_w"),
@@ -272,23 +286,31 @@ def token_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                >= mr * (F.col("_fsa") + F.col("_fsb")))
         .select("id_a", "id_b")
     )
-    # exact verification: count shared words for candidate pairs only
-    ta = toks.select(F.col("_id").alias("id_a"), F.col("_w"))
-    tb = toks.select(F.col("_id").alias("id_b"), F.col("_w"))
-    common = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "_w"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"))
+    # exact verification — r6 rewrite (guide §2.3 "shuffle fewer bytes" /
+    # §1.2 per-task work): attach each side's (distinct) token ARRAY and
+    # count the overlap with one native array_intersect per pair, instead
+    # of re-exploding tokens and counting shared rows. The old
+    # cand ⋈ tokens(id_a) ⋈ tokens(id_b) chain materialized
+    # |cand| x avg_tokens intermediate rows (~37 M rows at sf0.1 for
+    # ~250 k verified pairs — profiled as the dominant ~2.5 s stage of
+    # the family); the array form shuffles exactly one row per candidate
+    # pair and one array per document. Counts are identical: the arrays
+    # hold exactly the per-doc distinct tokens the explode produced, and
+    # |A ∩ B| / |A| + |B| - |A ∩ B| is the same integer arithmetic.
+    arrs = toks.groupBy("_id").agg(F.collect_list("_w").alias("_arr"))
+    aa = arrs.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_ta"))
+    bb = arrs.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_tb"))
     out = (
-        common.join(sa, "id_a").join(sb, "id_b")
+        cand.join(aa, "id_a").join(bb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("n_common"),
+            (F.size("_ta") + F.size("_tb")).alias("_stot"),
+        )
         .select(
             "id_a", "id_b",
             F.col("n_common").cast("int").alias("n_common"),
-            (F.col("_sa") + F.col("_sb") - F.col("n_common")).cast("int").alias("n_union"),
+            (F.col("_stot") - F.col("n_common")).cast("int").alias("n_union"),
         )
         .where(F.col("n_common") * 1000 >= min_ratio_milli * F.col("n_union"))
     )
@@ -321,38 +343,46 @@ def simhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
     usable bits; bit b reads bit b%30 of permutation b//30) — weaker
     mixing than xxhash64 but bit-replayable in DuckDB SQL for the
     driver's oracle."""
-    words = docs.select(
+    # r6: every repetitive expression below is built as ONE SQL string —
+    # a Python-side loop of Column operations costs one py4j round trip
+    # per operation (~2-4 ms each; the previous ~1000-call construction
+    # was a profiled ~2 s of DRIVER time per invocation, before Spark ran
+    # anything). Same resolved expressions, same values.
+    words = spread_input(docs.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.split(canon_text(text_col), " ")).alias("_w"))
     if hash == "xxhash64":
         hashed = words.select(F.col(id_col), F.xxhash64("_w").alias("_h0"))
 
-        def bit(b: int):
-            return F.shiftright("_h0", b).bitwiseAND(1)
+        def bit(b: int) -> str:
+            return f"(shiftright(_h0, {b}) & 1)"
     elif hash == "arith":
         coeffs = perm_coeffs(3)
         hashed = words.select(
             F.col(id_col), F.expr(_arith_str_hash_sql("_w")).alias("_hb")
-        ).select(
-            F.col(id_col),
-            *[((F.lit(a) * F.col("_hb") + F.lit(b)) % P_ARITH).alias(f"_h{t}")
+        ).selectExpr(
+            f"`{id_col}`",
+            *[f"({a}L * _hb + {b}L) % {P_ARITH} AS _h{t}"
               for t, (a, b) in enumerate(coeffs)])
 
-        def bit(b: int):
-            return F.shiftright(f"_h{b // 30}", b % 30).bitwiseAND(1)
+        def bit(b: int) -> str:
+            return f"(shiftright(_h{b // 30}, {b % 30}) & 1)"
     else:
         raise ValueError(f"unknown hash {hash!r}")
-    wh = hashed.select(
-        F.col(id_col),
-        *[(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"_b{b}")
-          for b in range(64)])
-    votes = wh.groupBy(id_col).agg(
-        *[F.sum(f"_b{b}").alias(f"_v{b}") for b in range(64)])
-    sig_expr = None
-    for b in range(64):
-        term = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63
-                      else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig_expr = term if sig_expr is None else sig_expr + term
-    return votes.select(F.col(id_col), sig_expr.alias("sig"))
+    # one aggregate: votes land in ONE array column (array of 64 per-bit
+    # sums of +1/-1 contributions, written as 2*sum(bit) - count — the
+    # same integers). The sig packs sign bits with a balanced add tree.
+    votes = hashed.groupBy(id_col).agg(
+        F.expr("array(" + ", ".join(
+            f"2 * sum({bit(b)}) - count(1)" for b in range(64)) + ")")
+        .alias("_va"))
+    terms = [f"(CASE WHEN _va[{b}] > 0 THEN "
+             + (f"{1 << b}L" if b < 63 else "(-9223372036854775807L - 1L)")
+             + " ELSE 0L END)"
+             for b in range(64)]
+    while len(terms) > 1:
+        terms = [f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms)
+                 else terms[i] for i in range(0, len(terms), 2)]
+    return votes.selectExpr(f"`{id_col}`", f"{terms[0]} AS sig")
 
 
 def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
@@ -390,8 +420,11 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         piece = "sig" if width >= 64 else f"shiftright(sig, {lo}) & {(1 << width) - 1}"
         band_exprs.append(f"concat('{b}:', cast({piece} as string))")
     bands = F.expr(f"array({', '.join(band_exprs)})")
+    # same exchange-reuse shape as minhash_lsh_pairs: one signature
+    # computation feeds both join sides through a shared _bkey exchange
     keyed = sigs.select(F.col(id_col).alias("_bid"), F.col("sig"),
-                        F.explode(bands).alias("_bkey"))
+                        F.explode(bands).alias("_bkey")) \
+        .repartition("_bkey")
     l = keyed.select(F.col("_bid").alias("id_a"), F.col("sig").alias("_sa"), "_bkey").alias("lk")
     r = keyed.select(F.col("_bid").alias("id_b"), F.col("sig").alias("_sb"), "_bkey").alias("rk")
     cand = (

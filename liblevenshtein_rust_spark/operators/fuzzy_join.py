@@ -329,9 +329,10 @@ def fuzzy_prefix_join(
     depth = effective_depth(n, variant)
     # adaptive-stats collect: cardinality is bounded by the number of
     # distinct QUERY lengths (<= max query string length, a few dozen ints),
-    # never by row count — safe at any scale
-    qlens = [r[0] for r in
-             queries.select(F.length(F.col(q_text)).alias("l")).distinct().collect()]
+    # never by row count — safe at any scale. ONE aggregation (r6): the
+    # distinct().collect() form paid a shuffle + multi-task result stage.
+    qlens = list(queries.agg(
+        F.collect_set(F.length(F.col(q_text)))).first()[0])
     plens = sorted({pl for lq in qlens for pl in range(max(lq - n, 0), lq + n + 1)})
     if not plens:
         plens = [0]

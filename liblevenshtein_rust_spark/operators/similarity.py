@@ -18,11 +18,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)")
+
+
+def _norm(a: str) -> F.Column:
+    return F.expr(f"sqrt(aggregate({a}, 0D, (s, v) -> s + cast(v as double) * cast(v as double)))")
+
+
 def _cosine(a: str, b: str) -> F.Column:
-    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)")
-    na = F.expr(f"sqrt(aggregate({a}, 0D, (s, v) -> s + cast(v as double) * cast(v as double)))")
-    nb = F.expr(f"sqrt(aggregate({b}, 0D, (s, v) -> s + cast(v as double) * cast(v as double)))")
-    return dot / (na * nb)
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
@@ -31,11 +36,22 @@ def cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
     """Exact brute-force top-k: for each query vector the k most cosine-
     similar corpus vectors. Broadcast the query side (queries are the
     small side by construction); ties broken by c_id ASC for determinism.
-    Output: (q_id, rank, c_id, sim)."""
-    joined = F.broadcast(queries).crossJoin(corpus)
+    Output: (q_id, rank, c_id, sim).
+
+    r6: norms are computed once per INPUT row on each side before the
+    cross join (|Q| + |C| interpreted-lambda norm evaluations instead of
+    2 x |Q| x |C| — guide §1.2 per-task work). The per-pair expression is
+    the identical ``dot / (q_norm * c_norm)`` double arithmetic, so sims
+    (and therefore ranks) are bit-unchanged. The corpus side is spread to
+    the cluster's parallelism first: a single-split scan otherwise runs
+    the whole O(|Q| x |C| x dim) scoring stage on one core (§2.5)."""
+    from liblevenshtein_rust_spark.operators.skew import spread_input
+    qn = queries.withColumn("_qn", _norm(q_vec))
+    cn = spread_input(corpus).withColumn("_cn", _norm(c_vec))
+    joined = F.broadcast(qn).crossJoin(cn)
     scored = joined.select(
         F.col(q_id), F.col(c_id),
-        _cosine(q_vec, c_vec).alias("sim"),
+        (_dot(q_vec, c_vec) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
     )
     win = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id).asc())
     return (
@@ -230,9 +246,22 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
     Output: (id_a, id_b, sim).
     """
     if method == "exact":
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        # r6: hoist each side's norm above the quadratic self-join (same
+        # bit-exact rewrite as cosine_top_k); spread the single-split scan
+        from liblevenshtein_rust_spark.operators.skew import spread_input
+        base = spread_input(df.select(id_col, vec_col))
+        a = base.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"),
+                        _norm(vec_col).alias("_na"))
+        b = base.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"),
+                        _norm(vec_col).alias("_nb"))
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
+        return (cand.select(
+                    "id_a", "id_b",
+                    (_dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
+                    .alias("sim"))
+                .where(F.col("sim") >= float(threshold)))
     elif method == "lsh":
         sig_udf = make_signature_udf(n_planes, seed)
         keyed = (

@@ -79,3 +79,30 @@ def salted_self_candidates(keys: DataFrame, *, hot_threshold: int,
         .where(F.col("_ida") != F.col("_idb"))
     )
     return cold_pairs.unionByName(hot_pairs).dropDuplicates(["_ida", "_idb"])
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Input-parallelism floor for fan-out operators (guide-§2.5 input
+    skew: "one huge unsplittable file ... repartition immediately after
+    the read").
+
+    The signature/index builders in this engine amplify each input row
+    ~100-300x (substring position explode, shingle explode x num_hashes,
+    token explode) before any shuffle, so their compute parallelism is
+    pinned to the SCAN's split count — and a small or unsplittable input
+    (single parquet row group, gzip) runs the whole fan-out on a handful
+    of cores (profiled r6: the sf0.1 substring index build was a 3.2 s
+    4-task stage; MinHash signatures a 1.9 s single-task stage — on a
+    32-core master).
+
+    When the input already carries >= defaultParallelism partitions this
+    is a NO-OP (no shuffle is added at deployment scale, where scans are
+    split-rich); otherwise it round-robins the (narrow, pre-explode) rows
+    across defaultParallelism partitions — the shuffle moves the input
+    rows once, orders of magnitude less than the fan-out it parallelizes.
+    Row-level operators only: never changes results, only layout."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)

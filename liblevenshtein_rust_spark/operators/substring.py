@@ -108,19 +108,30 @@ def build_substring_index(docs: DataFrame, seg_lens: list[int], *,
     lens = sorted({int(x) for x in seg_lens})
     if not lens:
         raise ValueError("seg_lens must be non-empty")
-    ds = docs.select(F.col(d_id).alias("_did"), F.col(d_text).alias("_t"))
-    dk = None
-    for L in lens:
-        branch = (
-            ds.where(F.length("_t") >= L)
-            .select("_did",
-                    F.explode(F.sequence(
-                        F.lit(1), F.length("_t") - L + 1)).alias("_p"),
-                    "_t")
-            .select("_did", "_p", F.lit(L).alias("_len"),
-                    F.xxhash64(F.expr(f"substring(_t, _p, {L})")).alias("_bkey"))
-        )
-        dk = branch if dk is None else dk.unionByName(branch)
+    from liblevenshtein_rust_spark.operators.skew import spread_input
+    # the position explode amplifies each doc ~|text| x |lens| — its
+    # parallelism must not be pinned to the scan's split count (r6,
+    # guide §2.5: profiled 3.2 s on 4 tasks at sf0.1, single input file)
+    ds = spread_input(
+        docs.select(F.col(d_id).alias("_did"), F.col(d_text).alias("_t")))
+    # r6 (guide §2.4): ONE branch with a nested explode over (position,
+    # length) replaces the former per-length union — the union planned an
+    # identical scan/spread Exchange per length (4 duplicate shuffle
+    # stages + 4 Generate stages at sf0.1), while this shape is a single
+    # scan -> Generate -> Generate -> project pipeline producing the
+    # identical row set: one row per (doc, position, covered length).
+    lens_arr = F.array(*[F.lit(int(L)) for L in lens])
+    lmin = lens[0]
+    dk = (
+        ds.where(F.length("_t") >= lmin)
+        .select("_did", "_t",
+                F.explode(F.sequence(
+                    F.lit(1), F.length("_t") - lmin + 1)).alias("_p"))
+        .select("_did", "_t", "_p", F.explode(lens_arr).alias("_len"))
+        .where(F.col("_p") + F.col("_len") - 1 <= F.length("_t"))
+        .select("_did", "_p", "_len",
+                F.xxhash64(F.expr("substring(_t, _p, _len)")).alias("_bkey"))
+    )
     if num_partitions:
         dk = dk.repartition(num_partitions, "_bkey")
     return dk
@@ -287,9 +298,11 @@ def fuzzy_substring_join(
     qs = queries.select(F.col(q_id).alias("_qid"), F.col(q_text).alias("_q"))
     ds = docs.select(F.col(d_id).alias("_did"), F.col(d_text).alias("_t"))
 
-    # adaptive stat: distinct query lengths (bounded by max query length)
-    qlens = sorted(r[0] for r in
-                   qs.select(F.length("_q").alias("l")).distinct().collect())
+    # adaptive stat: distinct query lengths (bounded by max query length).
+    # collect_set in ONE aggregation: the distinct().collect() form paid a
+    # full shuffle + a multi-task result stage per invocation (r6)
+    qlens = sorted(qs.agg(
+        F.collect_set(F.length("_q"))).first()[0])
     # the blocked path needs every segment non-empty (an "intact" empty
     # segment proves nothing), i.e. m >= segment count
     min_long = _n_segments(n, variant)
@@ -334,10 +347,21 @@ def fuzzy_substring_join(
             dk = build_substring_index(
                 ds, seg_lens, d_id="_did", d_text="_t") \
                 .select("_did", "_p", "_bkey")
+        # r6 (guide §3.1): the query-segment side is the small side BY
+        # CONTRACT (a bounded query workload; its distinct lengths are
+        # already collected driver-side above) — broadcast it explicitly.
+        # Size estimates after the index's Generate are badly wrong and
+        # made the planner broadcast the 5.9M-row INDEX instead (profiled:
+        # a ~1.4 s serial hashed-relation build per draw at sf0.1, plus
+        # the index explode forced into 4 tasks feeding it). With the
+        # probe side broadcast, the index explode + join + anchor
+        # arithmetic fuse into ONE wide map stage with no index shuffle.
+        # The anchor-level dedupe is folded into the position-level one
+        # below (one Exchange instead of two; the explode between them is
+        # only 2n+1 wide).
         anchors = (
-            qk.join(dk, "_bkey")
+            F.broadcast(qk).join(dk, "_bkey")
             .select("_qid", "_did", (F.col("_p") - F.col("_s0")).alias("_a"))
-            .dropDuplicates(["_qid", "_did", "_a"])
         )
         # candidate start positions within the displacement bound
         probes = anchors.select(
@@ -376,7 +400,7 @@ def fuzzy_substring_join(
     # n=0 it IS the exact check.
     thr = 2 * n if variant == STANDARD else 3 * n
     with_text = (
-        probes.join(qs, "_qid").join(ds, "_did")
+        probes.join(F.broadcast(qs), "_qid").join(ds, "_did")
         # a window can only reach distance <= n if pos is in range, at
         # least m-n chars remain, AND the window is non-empty (dp is a min
         # over widths w >= 1; when m <= n the m-n bound is vacuous and the
@@ -405,15 +429,21 @@ def fuzzy_substring_join(
         return scored.select(
             F.col("_qid").alias(q_id), F.col("_q").alias(q_text),
             F.col("_did").alias(d_id), "pos", "distance")
+    # min over (distance, pos) packed into ONE int64: lexicographic order
+    # is preserved (0 <= pos < 2^32), and a long min hash-aggregates with
+    # map-side partials where min(struct) planned two SortAggregate +
+    # Sort rounds (r6; guide §2.3 "aggregate before you shuffle")
     best = (
         scored.groupBy("_qid", "_did")
-        .agg(F.min(F.struct("distance", "pos")).alias("_b"),
+        .agg(F.min(F.col("distance").cast("long") * F.lit(4294967296)
+                   + F.col("pos")).alias("_bp"),
              F.first("_q").alias("_q"))
     )
     return best.select(
         F.col("_qid").alias(q_id), F.col("_q").alias(q_text),
         F.col("_did").alias(d_id),
-        F.col("_b.distance").alias("distance"), F.col("_b.pos").alias("pos"))
+        F.shiftright("_bp", 32).cast("int").alias("distance"),
+        F.col("_bp").bitwiseAND(F.lit(4294967295)).cast("int").alias("pos"))
 
 
 def _empty_result(queries, docs, q_id, q_text, d_id, all_positions):

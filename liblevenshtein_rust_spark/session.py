@@ -18,6 +18,24 @@ from pyspark.sql import SparkSession
 _BASE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # r6 (guide §2.2/§2.5): AQE coalesces on shuffle BYTES, but several hot
+    # paths here have high per-row cost downstream of a tiny shuffle (the
+    # levenshtein verify on ~300-char texts: ~16 bytes of (id_a, id_b)
+    # per pair stands in for O(len^2/band) DP work; the depth-3 deletion-key
+    # explode: ~1.5 MB of distinct words fans out 300x). With the default
+    # 1 MB floor those stages coalesced to ONE task (profiled: a 1.0 s
+    # single-task verify stage inside every fuzzy pair query at sf0.1).
+    # A 64 KB floor is scale-neutral: at deployment scale shuffle
+    # partitions are >> 1 MB and parallelismFirst still targets
+    # bytes/defaultParallelism — only the small-bytes/high-cost regime
+    # changes, and that regime is exactly what was serializing.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # r6: let AQE re-optimize plans under persist() too — the cached key /
+    # token tables otherwise materialize at the raw shuffle-partition
+    # count (64 near-empty cache partitions -> 64-task scheduling
+    # overhead on every cached read; profiled ~0.3-0.7 s per fuzzy pair
+    # query at sf0.1 across its six 64-task micro-stages).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
