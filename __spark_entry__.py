@@ -173,14 +173,34 @@ def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _values_df(spark: SparkSession, rows: list[tuple],
+               cols: list[str]) -> DataFrame:
+    """Small fixture table as a VALUES LocalRelation. r6 (guide §4):
+    ``createDataFrame(list)`` builds a PYTHON-RDD-backed table — every
+    scan of it ran 32 pickled-row Python-worker tasks (~0.25 s/scan,
+    profiled; the substring queries scan their query table 3x per
+    invocation). A LocalRelation scans driver-side with exact stats
+    (so broadcast decisions need no AQE correction). ASCII fixture
+    strings only (single quotes escaped)."""
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS STRING)"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+    vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    proj = ", ".join(f"col{i + 1} AS {c}" for i, c in enumerate(cols))
+    return spark.sql(f"SELECT {proj} FROM VALUES {vals}")
+
+
 def _dict27_df(spark: SparkSession) -> DataFrame:
     from liblevenshtein_rust_spark.functions.canonicalize import term_id
-    df = spark.createDataFrame([(t,) for t in DICT27], ["term"])
+    df = _values_df(spark, [(t,) for t in DICT27], ["term"])
     return df.select(term_id("term").alias("term_id"), "term")
 
 
 def _queries_df(spark: SparkSession, terms: list[str]) -> DataFrame:
-    return spark.createDataFrame([(q, q) for q in terms], ["q_id", "q_text"])
+    return _values_df(spark, [(q, q) for q in terms], ["q_id", "q_text"])
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

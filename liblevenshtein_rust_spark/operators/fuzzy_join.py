@@ -98,7 +98,15 @@ def _explode_keys(df: DataFrame, id_col: str, text_col: str, keys: Column) -> Da
 
 def _candidates_from_keys(left_keys: DataFrame, right_keys: DataFrame,
                           self_join: bool) -> DataFrame:
-    """Join exploded key tables -> distinct candidate id pairs."""
+    """Join exploded key tables -> distinct candidate id pairs.
+
+    Self-joins pre-partition the key table on the join key below the
+    per-side aliases, so both sides require exactly that exchange and
+    AQE stage reuse computes the key-generation pipeline ONCE (r6, guide
+    §2.4 — the same shape as dedup.minhash_lsh_pairs; the per-side
+    aliased plans otherwise materialized two identical key stages)."""
+    if self_join:
+        left_keys = right_keys = left_keys.repartition("_bkey")
     l = left_keys.withColumnRenamed("_bid", "_ida").alias("lk")
     r = right_keys.withColumnRenamed("_bid", "_idb").alias("rk")
     pairs = l.join(r, F.col("lk._bkey") == F.col("rk._bkey"), "inner").select(
@@ -331,8 +339,13 @@ def fuzzy_prefix_join(
     # distinct QUERY lengths (<= max query string length, a few dozen ints),
     # never by row count — safe at any scale. ONE aggregation (r6): the
     # distinct().collect() form paid a shuffle + multi-task result stage.
-    qlens = list(queries.agg(
-        F.collect_set(F.length(F.col(q_text)))).first()[0])
+    if queries.isLocal():
+        qlens = list({r[0] for r in
+                      queries.select(F.length(F.col(q_text))).collect()
+                      if r[0] is not None})
+    else:
+        qlens = list(queries.agg(
+            F.collect_set(F.length(F.col(q_text)))).first()[0])
     plens = sorted({pl for lq in qlens for pl in range(max(lq - n, 0), lq + n + 1)})
     if not plens:
         plens = [0]

@@ -299,10 +299,16 @@ def fuzzy_substring_join(
     ds = docs.select(F.col(d_id).alias("_did"), F.col(d_text).alias("_t"))
 
     # adaptive stat: distinct query lengths (bounded by max query length).
-    # collect_set in ONE aggregation: the distinct().collect() form paid a
-    # full shuffle + a multi-task result stage per invocation (r6)
-    qlens = sorted(qs.agg(
-        F.collect_set(F.length("_q"))).first()[0])
+    # Local (VALUES/fixture) query tables short-circuit to a driver-side
+    # collect of a projection over the LocalRelation — zero Spark jobs;
+    # distributed workloads pay ONE collect_set aggregation (r6; the
+    # original distinct().collect() paid a shuffle + multi-task result
+    # stage per invocation)
+    if qs.isLocal():
+        qlens = sorted({r[0] for r in qs.select(F.length("_q")).collect()
+                        if r[0] is not None})
+    else:
+        qlens = sorted(qs.agg(F.collect_set(F.length("_q"))).first()[0])
     # the blocked path needs every segment non-empty (an "intact" empty
     # segment proves nothing), i.e. m >= segment count
     min_long = _n_segments(n, variant)
@@ -316,8 +322,12 @@ def fuzzy_substring_join(
         for m in long_lens:
             for start0, ln in _segments(m, n, variant):
                 seg_rows.append((m, start0, ln))
-        seg_df = qs.sparkSession.createDataFrame(
-            seg_rows, "_m int, _s0 int, _sl int")
+        # VALUES LocalRelation, not createDataFrame: a Python-list DF is
+        # scanned through Python workers on every use (r6; see
+        # __spark_entry__._values_df)
+        seg_df = qs.sparkSession.sql(
+            "SELECT col1 AS _m, col2 AS _s0, col3 AS _sl FROM VALUES "
+            + ", ".join(f"({m}, {s0}, {sl})" for m, s0, sl in seg_rows))
         qk = (
             qs.join(F.broadcast(seg_df), F.length("_q") == F.col("_m"))
             .select("_qid", "_s0",

@@ -54,42 +54,44 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversation — a deterministic distance-1 pair. Mirrored 1:1 by
     TRANSCRIPTS_SQL in __spark_entry__.py.
     """
+    # r6: branches are built with selectExpr strings — the per-Column
+    # py4j construction cost of this (widely shared) lineage was pure
+    # driver latency (guide §4 boundary note; see dedup signature
+    # builders). Expressions are 1:1 with the previous Column forms and
+    # with TRANSCRIPTS_SQL in __spark_entry__.py.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.lower(F.col("text")).alias("text"))
-    role = (
-        F.when(F.col("doc_id") % 4 == 0, "user")
-        .when(F.col("doc_id") % 4 == 1, "assistant")
-        .when(F.col("doc_id") % 4 == 2, "tool")
-        .otherwise("system")
+    orig = docs.selectExpr(
+        "concat('conv_', cast(doc_id % 50 AS string)) AS conv_id",
+        "cast(floor(doc_id / 50) * 2 AS int) AS turn_idx",
+        "CASE WHEN doc_id % 4 = 0 THEN 'user' "
+        "WHEN doc_id % 4 = 1 THEN 'assistant' "
+        "WHEN doc_id % 4 = 2 THEN 'tool' ELSE 'system' END AS role",
+        "text",
+        "CASE WHEN doc_id % 4 = 2 THEN 'search' "
+        "ELSE cast(NULL AS string) END AS tool",
+        f"to_timestamp({_EPOCH} + doc_id) AS ts",
     )
-    orig = docs.select(
-        F.concat(F.lit("conv_"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
-        (F.floor(F.col("doc_id") / 50) * 2).cast("int").alias("turn_idx"),
-        role.alias("role"),
-        F.col("text"),
-        F.when(F.col("doc_id") % 4 == 2, "search").otherwise(F.lit(None).cast("string")).alias("tool"),
-        F.to_timestamp(F.lit(_EPOCH) + F.col("doc_id")).alias("ts"),
+    # mutation position p = doc_id % _MUT_MOD + _MUT_BASE, inlined below
+    mutated = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
+        "concat('conv_', cast((doc_id + 17) % 50 AS string)) AS conv_id",
+        "cast(floor(doc_id / 50) * 2 + 1 AS int) AS turn_idx",
+        "'assistant' AS role",
+        "concat(substring(text, 1, cast(doc_id % 7 + 3 as int) - 1), "
+        "substring(text, cast(doc_id % 7 + 3 as int) + 1, length(text))) "
+        "AS text",
+        "cast(NULL AS string) AS tool",
+        f"to_timestamp({_EPOCH + 1000000} + doc_id) AS ts",
     )
-    p = (F.col("doc_id") % _MUT_MOD + _MUT_BASE).cast("int")
-    mutated = docs.where(F.col("doc_id") % 2 == 0).select(
-        F.concat(F.lit("conv_"), ((F.col("doc_id") + 17) % 50).cast("string")).alias("conv_id"),
-        (F.floor(F.col("doc_id") / 50) * 2 + 1).cast("int").alias("turn_idx"),
-        F.lit("assistant").alias("role"),
-        F.concat(F.expr("substring(text, 1, cast(doc_id % 7 + 3 as int) - 1)"),
-                 F.expr("substring(text, cast(doc_id % 7 + 3 as int) + 1, length(text))")).alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.to_timestamp(F.lit(_EPOCH + 1000000) + F.col("doc_id")).alias("ts"),
-    )
-    _ = p  # parameters documented above; inlined in exprs for SQL parity
     # exact duplicates: every doc_id % 10 == 1 repeats verbatim in another
     # conversation (distance-0 pairs for exact-dup operators)
-    dup = docs.where(F.col("doc_id") % 10 == 1).select(
-        F.concat(F.lit("conv_"), ((F.col("doc_id") + 29) % 50).cast("string")).alias("conv_id"),
-        (F.floor(F.col("doc_id") / 50) * 2 + 1).cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"),
-        F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.to_timestamp(F.lit(_EPOCH + 2000000) + F.col("doc_id")).alias("ts"),
+    dup = docs.where(F.col("doc_id") % 10 == 1).selectExpr(
+        "concat('conv_', cast((doc_id + 29) % 50 AS string)) AS conv_id",
+        "cast(floor(doc_id / 50) * 2 + 1 AS int) AS turn_idx",
+        "'user' AS role",
+        "text",
+        "cast(NULL AS string) AS tool",
+        f"to_timestamp({_EPOCH + 2000000} + doc_id) AS ts",
     )
     return orig.unionByName(mutated).unionByName(dup)
 
