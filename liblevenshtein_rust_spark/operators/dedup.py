@@ -22,7 +22,8 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Group identical canonical texts: (fp, n_docs, rep_id)."""
     return (
-        docs.select(F.col(id_col), F.md5(F.encode(canon_text(text_col), "UTF-8")).alias("fp"))
+        spread_input(docs.select(id_col, text_col))
+        .select(F.col(id_col), F.md5(F.encode(canon_text(text_col), "UTF-8")).alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("rep_id"))
     )
