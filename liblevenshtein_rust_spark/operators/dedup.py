@@ -20,10 +20,13 @@ from liblevenshtein_rust_spark.operators.skew import spread_input
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Group identical canonical texts: (fp, n_docs, rep_id)."""
+    """Group identical canonical texts: (fp, n_docs, rep_id).
+
+    (r6: deliberately NOT spread_input-wrapped — this is one pass of
+    cheap codegen hashing straight into a map-side partial aggregate;
+    the extra exchange measured as a net loss, 0.22 s -> ~0.5 s.)"""
     return (
-        spread_input(docs.select(id_col, text_col))
-        .select(F.col(id_col), F.md5(F.encode(canon_text(text_col), "UTF-8")).alias("fp"))
+        docs.select(F.col(id_col), F.md5(F.encode(canon_text(text_col), "UTF-8")).alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("rep_id"))
     )

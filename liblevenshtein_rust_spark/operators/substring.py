@@ -443,11 +443,14 @@ def fuzzy_substring_join(
     # is preserved (0 <= pos < 2^32), and a long min hash-aggregates with
     # map-side partials where min(struct) planned two SortAggregate +
     # Sort rounds (r6; guide §2.3 "aggregate before you shuffle")
+    # _q rides as a grouping key (functionally dependent on _qid, so the
+    # groups are identical): a first(_q) aggregate would carry a STRING
+    # aggregation buffer, which disqualifies HashAggregate and forces the
+    # SortAggregate + Sort pair back in
     best = (
-        scored.groupBy("_qid", "_did")
+        scored.groupBy("_qid", "_did", "_q")
         .agg(F.min(F.col("distance").cast("long") * F.lit(4294967296)
-                   + F.col("pos")).alias("_bp"),
-             F.first("_q").alias("_q"))
+                   + F.col("pos")).alias("_bp"))
     )
     return best.select(
         F.col("_qid").alias(q_id), F.col("_q").alias(q_text),

@@ -109,3 +109,45 @@ def test_cluster_cohesion_plan_is_jvm_only(spark):
     plan = _plan(cluster_cohesion(cl, pairs, weight_col="distance"))
     assert "ArrowEval" not in plan and "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_spread_input_preserves_rows_and_widens(spark):
+    """r6: spread_input must only change layout — same rows, and at least
+    defaultParallelism partitions when the input is narrower."""
+    from liblevenshtein_rust_spark.operators.skew import spread_input
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], ["id", "t"]).coalesce(1)
+    out = spread_input(df)
+    assert out.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 50)
+    assert sorted(r["id"] for r in out.collect()) == list(range(50))
+    # already-wide inputs pass through without an added shuffle
+    wide = df.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert spread_input(wide) is wide
+
+
+def test_variant_join_single_arrow_eval(spark):
+    """r6 (guide §4.4): the nondeterministic fence on the distance-kernel
+    UDFs must leave exactly ONE ArrowEvalPython node — the filter on the
+    UDF-computed distance previously planned a second evaluation."""
+    import re
+    qs = spark.createDataFrame([("q1", "tble")], ["q_id", "q_text"])
+    plan = _plan(fuzzy_join(qs, _terms(spark, WORDS), n=1,
+                            variant="transposition", method="deletion"))
+    nodes = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(nodes) == 1, plan
+
+
+def test_substring_best_match_hash_aggregates(spark):
+    """r6: the best-position aggregate packs (distance, pos) into one
+    int64 min and keeps q_text as a grouping key, so it must plan as
+    HashAggregate (map-side partials), never SortAggregate."""
+    from liblevenshtein_rust_spark.operators.substring import (
+        fuzzy_substring_join)
+    docs = spark.createDataFrame(
+        [(1, "a scan of the table"), (2, "fast scan path")],
+        ["doc_id", "text"])
+    qdf = spark.createDataFrame([("scan", "scan")], ["q_id", "q_text"])
+    plan = _plan(fuzzy_substring_join(qdf, docs, n=1))
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
