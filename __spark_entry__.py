@@ -229,9 +229,9 @@ def _term_pairs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     input is a 4x wall win at bench scale (15.7s -> 4.1s at sf0.1)."""
     pairs = fuzzy_self_join(_term_df(spark, sf_dir), n=n, method="segment",
                             persist=True)
-    return pairs.select(
-        F.least("term_a", "term_b").alias("term_a"),
-        F.greatest("term_a", "term_b").alias("term_b"),
+    return pairs.selectExpr(
+        "least(term_a, term_b) AS term_a",
+        "greatest(term_a, term_b) AS term_b",
         "distance",
     )
 

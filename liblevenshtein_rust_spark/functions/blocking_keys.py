@@ -68,6 +68,20 @@ def _del1_expr(x: str) -> str:
     )
 
 
+def deletion_keys_sql(col: str, depth: int, prefix_len: int = 0) -> str:
+    """SQL-string form of :func:`deletion_keys` (r6: key pipelines are
+    composed as strings so operators pay ONE py4j round trip for the
+    whole expression instead of one per Column op)."""
+    base = f"substring({col}, 1, {prefix_len})" if prefix_len > 0 else col
+    levels = [f"array({base})"]
+    for _ in range(depth):
+        prev = levels[-1]
+        levels.append(f"array_distinct(flatten(transform({prev}, x -> {_del1_expr('x')})))")
+    if len(levels) == 1:
+        return levels[0]
+    return f"array_distinct(concat({', '.join(levels)}))"
+
+
 def deletion_keys(col: str, depth: int, prefix_len: int = 0) -> Column:
     """Array of all deletion variants of ``col`` at depths 0..``depth``.
 
@@ -76,14 +90,7 @@ def deletion_keys(col: str, depth: int, prefix_len: int = 0) -> Column:
     long strings; leave 0 for exact completeness on short strings, and use
     segment keys for long ones).
     """
-    base = f"substring({col}, 1, {prefix_len})" if prefix_len > 0 else col
-    levels = [f"array({base})"]
-    for _ in range(depth):
-        prev = levels[-1]
-        levels.append(f"array_distinct(flatten(transform({prev}, x -> {_del1_expr('x')})))")
-    if len(levels) == 1:
-        return F.expr(levels[0])
-    return F.expr(f"array_distinct(concat({', '.join(levels)}))")
+    return F.expr(deletion_keys_sql(col, depth, prefix_len))
 
 
 # ---------------------------------------------------------------------------
@@ -99,6 +106,15 @@ def _seg_len(l: str, i: str, k: int) -> str:
     return f"(({l} div {k + 1}) + if({i} < {l} % {k + 1}, 1, 0))"
 
 
+def segment_keys_sql(col: str, k: int) -> str:
+    """SQL-string form of :func:`segment_keys`."""
+    l = f"length({col})"
+    return (
+        f"transform(sequence(0, {k}), i -> concat_ws('|', 'G', {l}, i, "
+        f"substring({col}, {_seg_start(l, 'i', k)} + 1, {_seg_len(l, 'i', k)})))"
+    )
+
+
 def segment_keys(col: str, k: int) -> Column:
     """Index-side keys: the k+1 segments of ``col``, tagged (length, idx).
 
@@ -106,11 +122,7 @@ def segment_keys(col: str, k: int) -> Column:
     trivially appears in any partner, so the pigeonhole argument still
     holds and short strings need no special casing.
     """
-    l = f"length({col})"
-    return F.expr(
-        f"transform(sequence(0, {k}), i -> concat_ws('|', 'G', {l}, i, "
-        f"substring({col}, {_seg_start(l, 'i', k)} + 1, {_seg_len(l, 'i', k)})))"
-    )
+    return F.expr(segment_keys_sql(col, k))
 
 
 def probe_keys(col: str, k: int, len_tol: int | None = None) -> Column:
@@ -120,13 +132,18 @@ def probe_keys(col: str, k: int, len_tol: int | None = None) -> Column:
 
     Fan-out is bounded by (2*len_tol+1) * (k+1) * (2k+1) keys/row.
     """
+    return F.expr(probe_keys_sql(col, k, len_tol))
+
+
+def probe_keys_sql(col: str, k: int, len_tol: int | None = None) -> str:
+    """SQL-string form of :func:`probe_keys`."""
     tol = k if len_tol is None else len_tol
     m = f"length({col})"
     start = _seg_start("l", "i", k)
     slen = _seg_len("l", "i", k)
     lo = f"greatest({start} - {k}, 0)"
     hi = f"least({start} + {k}, {m} - {slen})"
-    return F.expr(
+    return (
         "array_distinct(flatten(flatten("
         f"transform(sequence(greatest({m} - {tol}, 0), {m} + {tol}), l -> "
         f"  transform(sequence(0, {k}), i -> "
@@ -149,6 +166,11 @@ def ngram_keys(col: str, q: int = 3) -> Column:
         f"array_distinct(if(length({col}) < {q}, array({col}), "
         f"transform(sequence(1, length({col}) - {q} + 1), i -> substring({col}, i, {q}))))"
     )
+
+
+def hash_keys_sql(keys_sql: str) -> str:
+    """SQL-string form of :func:`hash_keys` over a key-array expression."""
+    return f"transform({keys_sql}, k -> xxhash64(k))"
 
 
 def hash_keys(keys: Column) -> Column:

@@ -31,10 +31,12 @@ from pyspark.sql.window import Window
 
 from liblevenshtein_rust_spark.functions.blocking_keys import (
     deletion_keys,
+    deletion_keys_sql,
     effective_depth,
     hash_keys,
-    probe_keys,
-    segment_keys,
+    hash_keys_sql,
+    probe_keys_sql,
+    segment_keys_sql,
 )
 from liblevenshtein_rust_spark.functions.canonicalize import canon_text, term_id
 from liblevenshtein_rust_spark.functions.distance import (
@@ -90,10 +92,12 @@ def _seg_k(n: int, variant: str) -> int:
     return n if variant == STANDARD else 2 * n
 
 
-def _explode_keys(df: DataFrame, id_col: str, text_col: str, keys: Column) -> DataFrame:
-    return (
-        df.select(F.col(id_col).alias("_bid"), F.explode(hash_keys(keys)).alias("_bkey"))
-    )
+def _explode_keys(df: DataFrame, id_col: str, keys_sql: str) -> DataFrame:
+    # whole key pipeline as ONE parsed expression (r6: the per-Column py4j
+    # construction cost of these shared helpers was ~0.5 s of driver time
+    # per pair query — guide §4, the Python boundary exists on the driver)
+    return df.selectExpr(f"`{id_col}` AS _bid",
+                         f"explode({hash_keys_sql(keys_sql)}) AS _bkey")
 
 
 def _candidates_from_keys(left_keys: DataFrame, right_keys: DataFrame,
@@ -107,12 +111,12 @@ def _candidates_from_keys(left_keys: DataFrame, right_keys: DataFrame,
     aliased plans otherwise materialized two identical key stages)."""
     if self_join:
         left_keys = right_keys = left_keys.repartition("_bkey")
-    l = left_keys.withColumnRenamed("_bid", "_ida").alias("lk")
-    r = right_keys.withColumnRenamed("_bid", "_idb").alias("rk")
-    pairs = l.join(r, F.col("lk._bkey") == F.col("rk._bkey"), "inner").select(
-        F.col("lk._ida").alias("_ida"), F.col("rk._idb").alias("_idb"))
+    l = left_keys.selectExpr("_bid AS _ida", "_bkey").alias("lk")
+    r = right_keys.selectExpr("_bid AS _idb", "_bkey").alias("rk")
+    pairs = l.join(r, F.col("lk._bkey") == F.col("rk._bkey"), "inner") \
+        .selectExpr("lk._ida AS _ida", "rk._idb AS _idb")
     if self_join:
-        pairs = pairs.where(F.col("_ida") < F.col("_idb"))
+        pairs = pairs.where("_ida < _idb")
     return pairs.dropDuplicates(["_ida", "_idb"])
 
 
@@ -121,8 +125,10 @@ def _attach_texts(pairs: DataFrame, left: DataFrame, right: DataFrame,
     """Join the (_ida, _idb) candidate pairs back to their texts as
     (_ta, _tb) — the shared candidate-to-verify plumbing of every join
     variant in this module."""
-    lt = left.select(F.col(l_id).alias("_ida"), F.col(l_text).alias("_ta")).dropDuplicates(["_ida"])
-    rt = right.select(F.col(r_id).alias("_idb"), F.col(r_text).alias("_tb")).dropDuplicates(["_idb"])
+    lt = left.selectExpr(f"`{l_id}` AS _ida", f"`{l_text}` AS _ta") \
+        .dropDuplicates(["_ida"])
+    rt = right.selectExpr(f"`{r_id}` AS _idb", f"`{r_text}` AS _tb") \
+        .dropDuplicates(["_idb"])
     return pairs.join(lt, "_ida").join(rt, "_idb")
 
 
@@ -132,18 +138,16 @@ def _score_pairs(pairs: DataFrame, left: DataFrame, right: DataFrame,
     with_text = _attach_texts(pairs, left, right, l_id, l_text, r_id, r_text)
     # cheap JVM-side prefilter before the (Arrow) scoring kernel: every
     # variant changes length by at most 1 per edit
-    with_text = with_text.where(
-        F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(n)
-    )
+    with_text = with_text.where(f"abs(length(_ta) - length(_tb)) <= {int(n)}")
     if variant == STANDARD and subst is None:
         # Spark's built-in levenshtein is codepoint-level with an
         # early-abort threshold (returns -1 above it) — semantically
         # identical to the reference's standard_distance, and it keeps the
         # entire verify stage inside whole-stage codegen (no Arrow hop).
         # Verified against the DP oracle in tests/test_distance.py.
-        scored = with_text.withColumn(
-            "distance", F.expr(f"levenshtein(_ta, _tb, {int(n)})"))
-        return scored.where(F.col("distance") >= 0)
+        scored = with_text.selectExpr(
+            "*", f"levenshtein(_ta, _tb, {int(n)}) AS distance")
+        return scored.where("distance >= 0")
     dist = make_distance_udf(n, variant,
                              subst.codepoint_pairs() if subst else None)
     scored = with_text.withColumn("distance", dist(F.col("_ta"), F.col("_tb")))
@@ -164,41 +168,31 @@ def _keys_for(df: DataFrame, id_col: str, text_col: str, n: int, variant: str,
             df = df.withColumn(text_col, F.translate(F.col(text_col), src, dst))
     depth = effective_depth(n, variant)
     k = _seg_k(n, variant)
-    short = F.length(F.col(text_col)) <= SHORT_MAX
+    short = f"length(`{text_col}`) <= {SHORT_MAX}"
+
+    def seg_sql() -> str:
+        if role == "index":
+            return segment_keys_sql(text_col, k)
+        if role == "probe":
+            return probe_keys_sql(text_col, k, len_tol=n)
+        return (f"concat({segment_keys_sql(text_col, k)}, "
+                f"{probe_keys_sql(text_col, k, len_tol=n)})")
 
     if method == "deletion":
-        keys = deletion_keys(text_col, depth)
-        return _explode_keys(df, id_col, text_col, keys)
+        return _explode_keys(df, id_col, deletion_keys_sql(text_col, depth))
     if method == "segment":
-        if role == "index":
-            keys = segment_keys(text_col, k)
-        elif role == "probe":
-            keys = probe_keys(text_col, k, len_tol=n)
-        else:  # both
-            keys = F.concat(segment_keys(text_col, k),
-                            probe_keys(text_col, k, len_tol=n))
-        return _explode_keys(df, id_col, text_col, keys)
+        return _explode_keys(df, id_col, seg_sql())
     if method == "hybrid":
         # short strings: deletion keys (cheap, exact); long strings: segment
         # keys. Pairs straddling the boundary are covered because BOTH
         # routes are generated for strings within n of SHORT_MAX.
-        near = (F.length(F.col(text_col)) >= SHORT_MAX - n) & \
-               (F.length(F.col(text_col)) <= SHORT_MAX + n)
-        del_side = df.where(short | near).select(
-            F.col(id_col).alias("_bid"),
-            F.explode(hash_keys(deletion_keys(text_col, depth))).alias("_bkey"),
-        )
-        if role == "index":
-            seg = segment_keys(text_col, k)
-        elif role == "probe":
-            seg = probe_keys(text_col, k, len_tol=n)
-        else:
-            seg = F.concat(segment_keys(text_col, k),
-                           probe_keys(text_col, k, len_tol=n))
-        seg_side = df.where(~short | near).select(
-            F.col(id_col).alias("_bid"),
-            F.explode(hash_keys(seg)).alias("_bkey"),
-        )
+        near = (f"(length(`{text_col}`) >= {SHORT_MAX - n} AND "
+                f"length(`{text_col}`) <= {SHORT_MAX + n})")
+        del_side = _explode_keys(
+            df.where(f"({short}) OR {near}"), id_col,
+            deletion_keys_sql(text_col, depth))
+        seg_side = _explode_keys(
+            df.where(f"(NOT ({short})) OR {near}"), id_col, seg_sql())
         return del_side.unionByName(seg_side)
     raise ValueError(f"unknown blocking method {method!r}")
 
@@ -248,11 +242,9 @@ def fuzzy_join(
     pairs = _candidates_from_keys(qk, dk, self_join=False)
     scored = _score_pairs(pairs, queries, dictionary, q_id, q_text, d_id, d_text,
                           n, variant, subst=substitutions)
-    return scored.select(
-        F.col("_ida").alias(q_id), F.col("_ta").alias(q_text),
-        F.col("_idb").alias(d_id), F.col("_tb").alias(d_text),
-        "distance",
-    )
+    return scored.selectExpr(
+        f"_ida AS `{q_id}`", f"_ta AS `{q_text}`",
+        f"_idb AS `{d_id}`", f"_tb AS `{d_text}`", "distance")
 
 
 def fuzzy_self_join(
@@ -302,11 +294,9 @@ def fuzzy_self_join(
         pairs = _candidates_from_keys(keys, keys, self_join=True)
     scored = _score_pairs(pairs, terms, terms, id_col, text_col, id_col, text_col,
                           n, variant, subst=substitutions)
-    out = scored.select(
-        F.col("_ida").alias("id_a"), F.col("_ta").alias("term_a"),
-        F.col("_idb").alias("id_b"), F.col("_tb").alias("term_b"),
-        "distance",
-    )
+    out = scored.selectExpr(
+        "_ida AS id_a", "_ta AS term_a", "_idb AS id_b", "_tb AS term_b",
+        "distance")
     if persisted:
         out._lls_persisted_inputs = persisted
     return out
@@ -357,10 +347,11 @@ def fuzzy_prefix_join(
             f"filter(array({lens_sql}), l -> l <= length({d_text}))")).alias("_pl"),
         F.col(d_text).alias("_t"),
     ).select("_bid", F.expr("substring(_t, 1, _pl)").alias("_p"))
-    dk = pref.select(
-        "_bid", F.explode(hash_keys(deletion_keys("_p", depth))).alias("_bkey")
+    dk = pref.selectExpr(
+        "_bid",
+        f"explode({hash_keys_sql(deletion_keys_sql('_p', depth))}) AS _bkey"
     ).dropDuplicates(["_bid", "_bkey"])
-    qk = _explode_keys(queries, q_id, q_text, deletion_keys(q_text, depth))
+    qk = _explode_keys(queries, q_id, deletion_keys_sql(q_text, depth))
     pairs = _candidates_from_keys(qk, dk, self_join=False)
     with_text = _attach_texts(pairs, queries, dictionary,
                               q_id, q_text, d_id, d_text).where(
