@@ -329,7 +329,8 @@ def fuzzy_prefix_join(
     # distinct QUERY lengths (<= max query string length, a few dozen ints),
     # never by row count — safe at any scale. ONE aggregation (r6): the
     # distinct().collect() form paid a shuffle + multi-task result stage.
-    if queries.isLocal():
+    from liblevenshtein_rust_spark.session import df_is_local_relation
+    if df_is_local_relation(queries):
         qlens = list({r[0] for r in
                       queries.select(F.length(F.col(q_text))).collect()
                       if r[0] is not None})

@@ -304,7 +304,8 @@ def fuzzy_substring_join(
     # distributed workloads pay ONE collect_set aggregation (r6; the
     # original distinct().collect() paid a shuffle + multi-task result
     # stage per invocation)
-    if qs.isLocal():
+    from liblevenshtein_rust_spark.session import df_is_local_relation
+    if df_is_local_relation(qs):
         qlens = sorted({r[0] for r in qs.select(F.length("_q")).collect()
                         if r[0] is not None})
     else:

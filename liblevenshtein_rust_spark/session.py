@@ -112,3 +112,17 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def df_is_local_relation(df) -> bool:
+    """True when ``df`` optimizes to a driver-local relation (VALUES /
+    fixture tables), so a bounded ``collect()`` of a projection runs
+    driver-side with NO Spark job. ``DataFrame.isLocal()`` checks only
+    the ANALYZED plan and misses the ubiquitous Project-over-
+    LocalRelation shape, so the optimized plan is consulted (r6)."""
+    try:
+        name = (df._jdf.queryExecution().optimizedPlan()
+                .getClass().getSimpleName())
+        return name in ("LocalRelation", "OneRowRelation")
+    except Exception:  # non-classic backends: fall back to the slow path
+        return bool(df.isLocal())
