@@ -121,21 +121,31 @@ def _candidates_from_keys(left_keys: DataFrame, right_keys: DataFrame,
 
 
 def _attach_texts(pairs: DataFrame, left: DataFrame, right: DataFrame,
-                  l_id: str, l_text: str, r_id: str, r_text: str) -> DataFrame:
+                  l_id: str, l_text: str, r_id: str, r_text: str,
+                  dedupe: bool = True) -> DataFrame:
     """Join the (_ida, _idb) candidate pairs back to their texts as
     (_ta, _tb) — the shared candidate-to-verify plumbing of every join
-    variant in this module."""
-    lt = left.selectExpr(f"`{l_id}` AS _ida", f"`{l_text}` AS _ta") \
-        .dropDuplicates(["_ida"])
-    rt = right.selectExpr(f"`{r_id}` AS _idb", f"`{r_text}` AS _tb") \
-        .dropDuplicates(["_idb"])
+    variant in this module.
+
+    ``dedupe=False`` skips the defensive one-row-per-id collapse when the
+    caller PROVES id uniqueness (r6: the collapse is a first(string)
+    aggregate, which plans a SortAggregate + Sort + Exchange per side —
+    pure overhead for dictionary inputs whose ids are unique by
+    construction)."""
+    lt = left.selectExpr(f"`{l_id}` AS _ida", f"`{l_text}` AS _ta")
+    rt = right.selectExpr(f"`{r_id}` AS _idb", f"`{r_text}` AS _tb")
+    if dedupe:
+        lt = lt.dropDuplicates(["_ida"])
+        rt = rt.dropDuplicates(["_idb"])
     return pairs.join(lt, "_ida").join(rt, "_idb")
 
 
 def _score_pairs(pairs: DataFrame, left: DataFrame, right: DataFrame,
                  l_id: str, l_text: str, r_id: str, r_text: str,
-                 n: int, variant: str, subst=None) -> DataFrame:
-    with_text = _attach_texts(pairs, left, right, l_id, l_text, r_id, r_text)
+                 n: int, variant: str, subst=None,
+                 dedupe_texts: bool = True) -> DataFrame:
+    with_text = _attach_texts(pairs, left, right, l_id, l_text, r_id, r_text,
+                              dedupe=dedupe_texts)
     # cheap JVM-side prefilter before the (Arrow) scoring kernel: every
     # variant changes length by at most 1 per edit
     with_text = with_text.where(f"abs(length(_ta) - length(_tb)) <= {int(n)}")
@@ -259,6 +269,7 @@ def fuzzy_self_join(
     salt_threshold: int | None = None,
     salt_groups: int = 8,
     persist: bool = False,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """All unordered distinct-term pairs with distance <= n (id_a < id_b).
 
@@ -266,6 +277,12 @@ def fuzzy_self_join(
     routes blocking keys with more members than the threshold through the
     deterministic triangular salting path (operators/skew.py) instead of
     a single reducer key.
+
+    ``unique_ids=True`` declares that ``terms`` carries one row per
+    ``id_col`` (the dictionary contract, e.g. a ``build_dictionary``
+    output): the text attach then skips its defensive per-id collapse —
+    two fewer Exchange + SortAggregate rounds per invocation (r6).
+    Results are identical whenever the declaration is true.
 
     ``persist`` caches the terms input AND the exploded key table: the
     plan reads terms four times (two key sides + two text attaches) and
@@ -293,7 +310,8 @@ def fuzzy_self_join(
     else:
         pairs = _candidates_from_keys(keys, keys, self_join=True)
     scored = _score_pairs(pairs, terms, terms, id_col, text_col, id_col, text_col,
-                          n, variant, subst=substitutions)
+                          n, variant, subst=substitutions,
+                          dedupe_texts=not unique_ids)
     out = scored.selectExpr(
         "_ida AS id_a", "_ta AS term_a", "_idb AS id_b", "_tb AS term_b",
         "distance")
